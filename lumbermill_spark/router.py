@@ -1,0 +1,150 @@
+"""Filter-based fan-out routing to per-sink writes with per-sink metrics.
+
+Reference semantics: output filters decide which receivers get an event
+(/root/reference/lumbermill/BaseModule.py:184-203); sinks batch-write
+(output/ElasticSearch.py:153-215, output/File.py:113-142); SimpleStats
+counts events per event_type per interval (misc/SimpleStats.py:213-220).
+
+Spark design decisions (SURVEY.md §4):
+
+- the routed parent is persisted ONCE before branching so overlapping
+  sink filters don't recompute the parse stage per sink (the reference
+  equivalent: events are routed, not cloned, unless two receivers both
+  match — BaseModule.py:244-253 clones; we never need to);
+- per-sink counts and sum(n_tok) are collected with ``df.observe`` on
+  the SAME pass that writes the sink — zero extra scans for metrics;
+- per-partition lineage is a small extra agg over the persisted parent;
+- sink writes are idempotent overwrites; a checkpoint commit row per
+  sink makes a killed run resumable (see checkpoint.py);
+- dynamic sink paths ("index-%Y.%m.%d-$(event_type)" in the reference,
+  output/ElasticSearch.py:172) become partition columns — the scalable
+  equivalent of per-value file paths.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass, field as dfield
+
+from pyspark import StorageLevel
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from lumbermill_spark import checkpoint as ckpt
+from lumbermill_spark.functions.filters import filter_to_column
+
+
+@dataclass
+class SinkSpec:
+    """One output branch. filter=None routes everything (default
+    receiver chaining, LumberMill.py:229-262)."""
+
+    name: str
+    filter: str | Column | None = None
+    path: str | None = None              # None -> DevNull (metrics only)
+    format: str = "parquet"
+    partition_by: list[str] = dfield(default_factory=list)
+    columns: list[str] | None = None     # projection before write
+    mode: str = "overwrite"
+    compression: str | None = None       # e.g. 'snappy'|'gzip' (output.File)
+
+    def predicate(self) -> Column | None:
+        if self.filter is None:
+            return None
+        if isinstance(self.filter, Column):
+            return self.filter
+        return filter_to_column(self.filter)
+
+
+def route(df: DataFrame, sinks: list[SinkSpec]) -> dict[str, DataFrame]:
+    """Pure routing: sink name -> filtered branch (no writes)."""
+    return {
+        s.name: (df if s.predicate() is None else df.filter(s.predicate()))
+        for s in sinks
+    }
+
+
+def route_and_write(
+    df: DataFrame,
+    sinks: list[SinkSpec],
+    base: str,
+    run_id: str | None = None,
+    stage: str = "route",
+    token_col: str | None = "n_tok",
+    resume: bool = False,
+    with_lineage: bool = True,
+    persist_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+) -> dict:
+    """Write every sink branch, collect per-sink metrics in-pass, commit
+    checkpoint rows. Returns {sink: {rows, tokens, skipped, path, secs}}.
+
+    resume=True skips sinks already committed for this run_id.
+    At 100TB the persisted parent should be DISK_ONLY or the branches
+    disjoint enough that recompute-with-pushdown beats caching; the
+    persist level is a knob for exactly that.
+    """
+    spark = df.sparkSession
+    if run_id is None:
+        run_id = uuid.uuid4().hex[:12]
+    done = ckpt.committed_sinks(spark, base, run_id) if resume else set()
+
+    multi = len([s for s in sinks if s.path]) > 1
+    if multi:
+        df = df.persist(persist_level)
+
+    results: dict[str, dict] = {}
+    for spec in sinks:
+        path = f"{base.rstrip('/')}/{spec.name}" if spec.path is None else spec.path
+        if spec.name in done:
+            results[spec.name] = {"skipped": True, "path": path}
+            continue
+        branch = df if spec.predicate() is None else df.filter(spec.predicate())
+        if spec.columns:
+            keep = [c for c in spec.columns if c in branch.columns]
+            branch = branch.select(*keep)
+
+        has_tok = token_col and token_col in branch.columns
+        obs = Observation(f"{run_id}-{spec.name}")
+        metrics_exprs = [F.count(F.lit(1)).alias("rows")]
+        if has_tok:
+            metrics_exprs.append(F.sum(token_col).cast("long").alias("tokens"))
+        observed = branch.observe(obs, *metrics_exprs)
+
+        t0 = time.time()
+        if spec.path is None and spec.format == "noop":
+            # DevNull (output/DevNull.py:19-20): run the plan, keep nothing
+            observed.write.format("noop").mode("overwrite").save()
+        else:
+            writer = observed.write.mode(spec.mode)
+            if spec.compression:
+                writer = writer.option("compression", spec.compression)
+            if spec.partition_by:
+                writer = writer.partitionBy(*spec.partition_by)
+            writer.format(spec.format).save(path)
+        secs = time.time() - t0
+
+        got = obs.get
+        rows = int(got.get("rows", 0))
+        tokens = int(got["tokens"]) if has_tok and got.get("tokens") is not None else None
+        lineage = (ckpt.partition_lineage(branch, token_col)
+                   if with_lineage and rows > 0 else [])
+        ckpt.commit(spark, base, run_id, stage, spec.name, rows, tokens, lineage)
+        results[spec.name] = {
+            "skipped": False, "path": path, "rows": rows,
+            "tokens": tokens, "secs": round(secs, 3),
+            "n_partitions": len(lineage),
+        }
+    if multi:
+        df.unpersist()
+    return results
+
+
+def sink_stats(spark: SparkSession, base: str, run_id: str | None = None) -> DataFrame:
+    """Per-sink aggregate counts from the checkpoint table (the
+    SimpleStats/Metrics 'statistic event' analog, misc/SimpleStats.py:84-175)."""
+    df = ckpt.read_checkpoints(spark, base)
+    if run_id:
+        df = df.filter(F.col("run_id") == run_id)
+    return df.select("run_id", "stage", "sink", "rows", "tokens",
+                     "n_partitions", "committed_at")

@@ -1,0 +1,155 @@
+"""Scalar parser fixtures re-expressed as DataFrame assertions.
+
+Sources: /root/reference/tests/parser/Test{Csv,Json,Line,DateTime,Url,
+SyslogPrival,Base64}.py and FIXTURES.md F3/F4/F6.
+"""
+
+import base64
+
+from pyspark.sql import functions as F
+
+from lumbermill_spark.operators import parsers as P
+
+
+def _one(spark, value, schema="data string"):
+    return spark.createDataFrame([(value,)], schema)
+
+
+def test_csv_fixture(spark):
+    # TestCsv: "It's;just;a;flesh;wound." delim ';' -> brain == 'just';
+    # values beyond fieldnames dropped (Csv.py:55-61)
+    df = _one(spark, "It's;just;a;flesh;wound.")
+    out = P.parse_csv(df, fieldnames=["gumby", "brain", "specialist"],
+                      source_field="data", delimiter=";")
+    row = out.first()
+    assert row["gumby"] == "It's"
+    assert row["brain"] == "just"
+    assert row["specialist"] == "a"
+    assert "flesh" not in out.columns
+
+
+def test_json_decode_merge(spark):
+    df = _one(spark, '{"South African": "Swallow", "n": "5"}')
+    out = P.parse_json(df, schema="`South African` string, n string")
+    row = out.first()
+    assert row["South African"] == "Swallow"
+    assert row["n"] == "5"
+    assert "data" not in out.columns  # drop_original default
+
+
+def test_json_decode_map_default(spark):
+    df = _one(spark, '{"a": "1", "b": "2"}')
+    out = P.parse_json(df, target_field="j")
+    assert out.first()["j"] == {"a": "1", "b": "2"}
+
+
+def test_json_multidoc(spark):
+    # concatenated JSON stream -> 1->N events (Json.py:95-99)
+    df = _one(spark, '{"a": "1"} {"a": "2"}{"a": "3"}')
+    out = P.parse_json(df, schema="a string", multidoc=True)
+    assert sorted(r["a"] for r in out.collect()) == ["1", "2", "3"]
+
+
+def test_json_encode(spark):
+    df = spark.createDataFrame([("x", 1)], "s string, n int")
+    out = P.encode_json(df, source_fields=["s", "n"], target_field="data")
+    assert out.first()["data"] == '{"s":"x","n":1}'
+
+
+def test_line_explode(spark):
+    df = _one(spark, "message-a|message-b|message-c")
+    out = P.parse_line(df, separator="|")
+    assert sorted(r["data"] for r in out.collect()) == [
+        "message-a", "message-b", "message-c"]
+
+
+def test_datetime_convert(spark):
+    # F6-style: reformat between string patterns
+    df = _one(spark, "2018-11-07T10:05:07.431Z", "ts string")
+    out = P.parse_datetime(df, "ts", "%Y-%m-%dT%H:%M:%S.%fZ",
+                           "%Y-%m-%dT%H:%M:%S")
+    assert out.first()["ts"] == "2018-11-07T10:05:07"
+
+
+def test_datetime_tz_convert(spark):
+    df = _one(spark, "28/Jul/2006 10:27:10", "ts string")
+    out = P.parse_datetime(df, "ts", "%d/%b/%Y %H:%M:%S", "%Y-%m-%d %H:%M:%S",
+                           source_timezone="America/Sao_Paulo",
+                           target_timezone="UTC")
+    assert out.first()["ts"] == "2006-07-28 13:27:10"
+
+
+def test_datetime_bad_parse_keeps_original(spark):
+    df = _one(spark, "not a date", "ts string")
+    out = P.parse_datetime(df, "ts", "%Y-%m-%d", "%Y")
+    assert out.first()["ts"] == "not a date"
+
+
+def test_add_datetime_from_sources(spark):
+    # AddDateTime.py:48-60 — first successful format wins
+    df = _one(spark, "2018-11-07T10:05:07.431Z", "ts string")
+    out = P.add_datetime(df, source_fields=["ts"],
+                         source_formats=["%Y", "%Y-%m-%dT%H:%M:%S.%fZ"])
+    assert out.first()["@timestamp"].startswith("2018-11-07T10:05:07")
+
+
+def test_add_datetime_run_timestamp(spark):
+    out = P.add_datetime(_one(spark, "x"), now="2020-01-02 03:04:05")
+    assert out.first()["@timestamp"] == "2020-01-02T03:04:05"
+
+
+def test_url_parse(spark):
+    df = _one(spark, "http://john:pw@www.example.com:8080/p/a?k=v&x=1#frag",
+              "url string")
+    out = P.parse_url(df, "url", target_field="u", parse_querystring=True,
+                      querystring_prefix="q_")
+    row = out.first()
+    u = row["u"]
+    assert u["scheme"] == "http"
+    assert u["hostname"] == "www.example.com"
+    assert u["port"] == 8080
+    assert u["path"] == "/p/a"
+    assert u["query"] == "k=v&x=1"
+    assert u["fragment"] == "frag"
+    assert u["username"] == "john" and u["password"] == "pw"
+    assert row["url_query"] == {"q_k": "v", "q_x": "1"}
+
+
+def test_syslog_prival(spark):
+    # TestSyslogPrival fixture: prival "14" -> user-level / Informational
+    df = _one(spark, "14", "syslog_prival string")
+    row = P.parse_syslog_prival(df).first()
+    assert row["syslog_facility"] == "user-level"
+    assert row["syslog_severity"] == "Informational"
+    raw = P.parse_syslog_prival(df, map_values=False).first()
+    assert raw["syslog_facility"] == 1 and raw["syslog_severity"] == 6
+
+
+def test_base64_roundtrip(spark):
+    encoded = base64.b64encode(b"spam & eggs").decode()
+    df = _one(spark, encoded)
+    out = P.base64_codec(df, "decode", "data", target_field="plain")
+    assert out.first()["plain"] == "spam & eggs"
+    back = P.base64_codec(out, "encode", "plain", target_field="b64")
+    assert back.first()["b64"] == encoded
+
+
+def test_inflate(spark):
+    import zlib
+    payload = zlib.compress(b"hello compressed world")
+    df = spark.createDataFrame([(payload,)], "blob binary")
+    out = P.inflate(df, "blob", target_field="text", compression="zlib")
+    assert out.first()["text"] == "hello compressed world"
+
+
+def test_xpath(spark):
+    xml = "<books><book><title>A</title></book><book><title>B</title></book></books>"
+    df = _one(spark, xml, "xml string")
+    out = P.parse_xpath(df, "xml", "//title/text()")
+    assert list(out.first()["xml_xpath"]) == ["A", "B"]
+
+
+def test_recode_charset(spark):
+    df = spark.createDataFrame([("héllo".encode("latin-1"),)], "raw binary")
+    out = P.recode_charset(df, "raw", "latin-1", "utf-8", target_field="utf8")
+    assert bytes(out.first()["utf8"]).decode("utf-8") == "héllo"

@@ -1,0 +1,155 @@
+"""Routing, sinks, checkpoint/resume, pipeline compiler — F9 fixtures.
+
+Golden checks per sink: count(*), sum(n_tok), doc_id set equality, exact
+token-array pass-through (BASELINE.json invariant), resume-without-
+reprocessing (EventBuffer analog).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lumbermill_spark import checkpoint as ckpt
+from lumbermill_spark.data.synth import synth_tokens
+from lumbermill_spark.functions.filters import filter_to_sql
+from lumbermill_spark.pipeline import compile_pipeline
+from lumbermill_spark.pipelines_builtin import ACCESS_RULES
+from lumbermill_spark.router import SinkSpec, route, route_and_write
+
+
+def test_filter_translation():
+    assert filter_to_sql("if $(remote_ip) == '1.2.3.4'") == "`remote_ip` == '1.2.3.4'"
+    assert (filter_to_sql("$(a) == 1 and re.match('GET', $(url))")
+            == "`a` == 1 and (`url` rlike '^GET')")
+    with pytest.raises(ValueError):
+        filter_to_sql("__import__('os').system('x')")
+
+
+@pytest.fixture(scope="module")
+def parsed(spark):
+    from lumbermill_spark.operators.regex_parser import RegexParser
+    df = synth_tokens(spark, 2000)
+    return RegexParser(ACCESS_RULES, engine="expr").apply(
+        df, tokens_col="tokens").cache()
+
+
+def test_route_partition_of_rows(spark, parsed):
+    sinks = [
+        SinkSpec("parsed", "$(event_type) != 'Unknown'"),
+        SinkSpec("unmatched", "$(event_type) == 'Unknown'"),
+    ]
+    branches = route(parsed, sinks)
+    n_all = parsed.count()
+    n_p = branches["parsed"].count()
+    n_u = branches["unmatched"].count()
+    assert n_p + n_u == n_all and n_u > 0
+
+
+def test_route_and_write_golden(spark, parsed, tmp_path):
+    base = str(tmp_path / "out")
+    sinks = [
+        SinkSpec("parsed", "$(event_type) != 'Unknown'",
+                 partition_by=["event_type"]),
+        SinkSpec("unmatched", "$(event_type) == 'Unknown'"),
+    ]
+    res = route_and_write(parsed, sinks, base, run_id="r1")
+    # per-sink golden counts vs direct computation
+    expect_p = parsed.filter("event_type != 'Unknown'")
+    assert res["parsed"]["rows"] == expect_p.count()
+    assert res["parsed"]["tokens"] == expect_p.agg(F.sum("n_tok")).first()[0]
+
+    back = spark.read.parquet(f"{base}/parsed")
+    # routed-row set equality on doc_id
+    a = {r["doc_id"] for r in back.select("doc_id").collect()}
+    b = {r["doc_id"] for r in expect_p.select("doc_id").collect()}
+    assert a == b
+    # exact token-array pass-through per doc_id (BASELINE invariant)
+    src = parsed.select("doc_id", F.col("tokens").alias("t_src"))
+    joined = back.join(src, "doc_id")
+    assert joined.filter(F.col("tokens") != F.col("t_src")).count() == 0
+
+    # checkpoint table carries rows/tokens + per-partition lineage
+    cp = ckpt.read_checkpoints(spark, base)
+    row = cp.filter("sink = 'parsed'").first()
+    assert row["rows"] == res["parsed"]["rows"]
+    assert row["tokens"] == res["parsed"]["tokens"]
+    assert sum(x["rows"] for x in row["lineage"]) == row["rows"]
+
+
+def test_resume_skips_committed(spark, parsed, tmp_path):
+    base = str(tmp_path / "out2")
+    sinks = [
+        SinkSpec("parsed", "$(event_type) != 'Unknown'"),
+        SinkSpec("unmatched", "$(event_type) == 'Unknown'"),
+    ]
+    first = route_and_write(parsed, sinks, base, run_id="rr", resume=True)
+    assert not first["parsed"]["skipped"]
+    # "killed after commit" restart: same run_id -> both sinks skipped,
+    # no reprocessing
+    second = route_and_write(parsed, sinks, base, run_id="rr", resume=True)
+    assert second["parsed"]["skipped"] and second["unmatched"]["skipped"]
+    # different run -> processed again
+    third = route_and_write(parsed, sinks, base, run_id="rr2", resume=True)
+    assert not third["parsed"]["skipped"]
+    assert third["parsed"]["rows"] == first["parsed"]["rows"]
+
+
+def test_partial_crash_resume(spark, parsed, tmp_path):
+    # simulate: sink1 committed, job died before sink2 -> resume rewrites
+    # only sink2
+    base = str(tmp_path / "out3")
+    s1 = [SinkSpec("parsed", "$(event_type) != 'Unknown'")]
+    route_and_write(parsed, s1, base, run_id="rz", resume=True)
+    both = s1 + [SinkSpec("unmatched", "$(event_type) == 'Unknown'")]
+    res = route_and_write(parsed, both, base, run_id="rz", resume=True)
+    assert res["parsed"]["skipped"] is True
+    assert res["unmatched"]["skipped"] is False
+    total = (spark.read.parquet(f"{base}/parsed").count()
+             + spark.read.parquet(f"{base}/unmatched").count())
+    assert total == parsed.count()
+
+
+def test_pipeline_compiler_end_to_end(spark, tmp_path):
+    base = str(tmp_path / "pipe")
+    spec = [
+        {"input.Synthetic": {"rows": 1000}},
+        {"parser.Regex": {"field_extraction_patterns": ACCESS_RULES,
+                          "tokens_col": "tokens", "engine": "expr"}},
+        {"modifier.Field": {"action": "map", "source_field": "http_status",
+                            "map": {"200": "OK", "301": "Moved", "304": "Not Modified",
+                                    "400": "Bad Request", "404": "Not Found",
+                                    "500": "Server Error"}}},
+        {"output.Parquet": {"name": "parsed",
+                            "filter": "$(event_type) != 'Unknown'",
+                            "partition_by": ["event_type"]}},
+        {"output.Parquet": {"name": "unmatched",
+                            "filter": "$(event_type) == 'Unknown'"}},
+    ]
+    pipe = compile_pipeline(spark, spec)
+    res = pipe.run(base, run_id="p1")
+    assert res["parsed"]["rows"] + res["unmatched"]["rows"] == 1000
+    back = spark.read.parquet(f"{base}/parsed")
+    assert "http_status_mapped" in back.columns
+    assert back.filter("event_type = 'httpd_access_log'").count() > 0
+
+
+def test_pipeline_input_filter_passthrough(spark):
+    # BaseModule.py:260-276: non-matching events bypass the module UNCHANGED
+    df = spark.createDataFrame([("a", "keep"), ("b", "skip")], "v string, tag string")
+    spec = [
+        {"modifier.Field": {"action": "upper", "source_fields": ["v"],
+                            "filter": "$(tag) == 'keep'"}},
+    ]
+    pipe = compile_pipeline(spark, spec)
+    rows = {r["tag"]: r["v"] for r in pipe.dataframe(df).collect()}
+    assert rows == {"keep": "A", "skip": "b"}
+
+
+def test_pipeline_common_actions(spark):
+    df = spark.createDataFrame([("x",)], "v string")
+    spec = [
+        {"misc.Noop": {"add_fields": {"greeting": "hello $(v)"},
+                       "set_event_type": "tagged"}},
+    ]
+    out = compile_pipeline(spark, spec).dataframe(df).first()
+    assert out["greeting"] == "hello x"
+    assert out["event_type"] == "tagged"
