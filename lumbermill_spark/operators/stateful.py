@@ -1,0 +1,121 @@
+"""Stateful / flatMap operators: MergeEvent sessionization, Permutate.
+
+Reference modules:
+- modifier.MergeEvent (/root/reference/lumbermill/modifier/MergeEvent.py:115-171):
+  buffer events per ``buffer_key``; a new buffer starts when
+  ``start_pattern`` matches (or flushes when ``end_pattern`` matches);
+  on flush, concatenate ``match_field`` across buffered events with
+  ``glue`` into one merged event.
+- modifier.Permutate (/root/reference/lumbermill/modifier/Permutate.py:31-69):
+  emit one event per r-length permutation of a list field, zipping the
+  permutation into ``target_fields``, optionally attaching per-value
+  context from ``context_data_field``.
+
+Batch MergeEvent is classic sessionization: session id = running count
+of start-marks per key in event order, then group-concat. The running
+count is a window function — one shuffle on (key), which is the minimum
+possible: merge semantics are inherently ordered-per-key. At 100 TB the
+key space (sender host) is large, so partitions stay balanced; a single
+hot key is the same pathology the reference has (its per-key buffer
+lives on one worker too).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_event(
+    df: DataFrame,
+    buffer_key: str | Column,
+    order_by: str | Column,
+    match_field: str = "data",
+    start_pattern: str | None = None,
+    end_pattern: str | None = None,
+    glue: str = "",
+    keep_fields: list[str] | None = None,
+) -> DataFrame:
+    """Group-and-concatenate per session.
+
+    start_pattern: a row matching it begins a NEW session (multiline
+    log reassembly: the un-indented first line). end_pattern: a row
+    matching it ENDS the current session (the next row starts a new
+    one). Exactly one of the two is typical; both may be given
+    (MergeEvent.py:128-141 evaluates start first, then end).
+    Rows before the first start-mark form session 0, matching the
+    reference's behavior of buffering from the first event seen.
+
+    Output: one row per (buffer_key, session) with ``match_field`` =
+    concatenated values, ``n_merged`` = event count, plus first-row
+    values of ``keep_fields``.
+    """
+    kcol = F.col(buffer_key) if isinstance(buffer_key, str) else buffer_key
+    ocol = F.col(order_by) if isinstance(order_by, str) else order_by
+    src = F.col(match_field)
+
+    w = Window.partitionBy(kcol).orderBy(ocol)
+    if start_pattern is not None:
+        is_start = src.rlike(start_pattern).cast("int")
+        session = F.sum(is_start).over(w)
+    elif end_pattern is not None:
+        is_end = src.rlike(end_pattern).cast("int")
+        # a row ending a session belongs to it; the NEXT row increments
+        prev_end = F.lag(is_end, 1, 0).over(w)
+        session = F.sum(prev_end).over(w)
+    else:
+        session = F.lit(0)
+
+    keyed = df.withColumn("_mk", kcol).withColumn("_session", session) \
+              .withColumn("_ord", ocol)
+    aggs = [
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_ord", src.alias("v")))),
+                lambda s: s["v"],
+            ),
+            glue,
+        ).alias(match_field),
+        F.count(F.lit(1)).alias("n_merged"),
+    ]
+    for kf in keep_fields or []:
+        aggs.append(F.min_by(F.col(kf), F.col("_ord")).alias(kf))
+    return (
+        keyed.groupBy(F.col("_mk").alias("buffer_key"), "_session")
+        .agg(*aggs)
+        .withColumnRenamed("_session", "session")
+    )
+
+
+def permutate(
+    df: DataFrame,
+    source_field: str,
+    target_fields: list[str],
+    length: int | None = None,
+    drop_source: bool = True,
+) -> DataFrame:
+    """One output row per r-length permutation (ordered, no repeats by
+    position) of the array in ``source_field``; element i of the
+    permutation lands in target_fields[i].
+
+    Pure JVM: r chained posexplodes over the SAME array with
+    position-inequality filters — no Python, no driver loop over data.
+    r is len(target_fields) like the reference (Permutate.py:42-44).
+    """
+    r = length or len(target_fields)
+    if r != len(target_fields):
+        raise ValueError("length must equal len(target_fields)")
+    out = df
+    pos_cols: list[str] = []
+    for i, tf in enumerate(target_fields):
+        pc = f"_perm_pos{i}"
+        out = out.select(
+            "*", F.posexplode(F.col(source_field)).alias(pc, tf)
+        )
+        for prev in pos_cols:
+            out = out.filter(F.col(pc) != F.col(prev))
+        pos_cols.append(pc)
+    out = out.drop(*pos_cols)
+    if drop_source:
+        out = out.drop(source_field)
+    return out

@@ -1,0 +1,191 @@
+"""Statistics / aggregation operators: Facet, Metrics, SimpleStats, Math.
+
+Reference modules:
+- modifier.Facet  (/root/reference/lumbermill/modifier/Facet.py:162-205
+  collect, :72-112 emit): per group_by key, collect unique values of
+  source_field over an interval, emit one ``facet`` event per key.
+- misc.Metrics    (/root/reference/lumbermill/misc/Metrics.py:173-200
+  accumulate, :129-166 emit): counters keyed by dynamic name, optional
+  histogram buckets (numpy.digitize) and percentiles/min/max/mean/std
+  (numpy.percentile) per interval.
+- misc.SimpleStats (/root/reference/lumbermill/misc/SimpleStats.py:213-220):
+  events_received + per-event_type counts per interval.
+- modifier.Math   (/root/reference/lumbermill/modifier/Math.py:46-106):
+  per-event arithmetic into target_field; interval variant aggregates
+  results_function over a window.
+
+Batch semantics: one run == one interval (the reference's flush-on-stop
+guarantee, LumberMill.py:505-531 — a finite input gets exactly one final
+flush). Streaming variants live in lumbermill_spark/streaming/.
+
+Scale notes: every aggregate here is a partial-agg-friendly groupBy
+(map-side combine), so the shuffle carries one row per (key) per input
+partition, not per event. collect_set is the one exception — its state
+is the distinct set itself; at 100 TB cap facet cardinality with
+``max_facets`` (slice) or switch to approx_count_distinct where only the
+count is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lumbermill_spark.functions.dynamic import dynamic_value_col, has_dynamic_refs
+
+
+def facet(
+    df: DataFrame,
+    source_field: str,
+    group_by: str | list[str],
+    other_event_fields: list[str] | None = None,
+    max_facets: int | None = None,
+) -> DataFrame:
+    """One output row per group: sorted unique values of ``source_field``.
+
+    Output schema mirrors the reference's facet event
+    (Facet.py:88-104): {facet_field, facet_count, facets} plus the
+    grouping key(s). ``other_event_fields`` keeps a sample of context
+    fields from the first-seen event per group (Facet.py:183-193; order
+    sensitivity resolved deterministically with min_by on the facet
+    value).
+    """
+    keys = [group_by] if isinstance(group_by, str) else list(group_by)
+    facets = F.sort_array(F.collect_set(source_field))
+    if max_facets:
+        facets = F.slice(facets, 1, max_facets)
+    aggs = [
+        F.lit(source_field).alias("facet_field"),
+        F.count_distinct(F.col(source_field)).alias("facet_count"),
+        facets.alias("facets"),
+    ]
+    if other_event_fields:
+        sample = F.min_by(
+            F.struct(*[F.col(c) for c in other_event_fields]), F.col(source_field)
+        )
+        aggs.append(sample.alias("sample"))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def simple_stats(df: DataFrame, group_field: str = "event_type") -> DataFrame:
+    """Per-event_type counts (SimpleStats.py:213-220). Emit one row per
+    type; the 'events_received' total is the sum — derivable, not stored
+    twice."""
+    return df.groupBy(group_field).agg(F.count(F.lit(1)).alias("events_received"))
+
+
+def metrics(
+    df: DataFrame,
+    name: str | Column,
+    value_field: str | None = None,
+    buckets: list[float] | None = None,
+    percentiles: list[float] = (50, 75, 95, 99),
+) -> DataFrame:
+    """Counter + optional numeric summary per metric name.
+
+    ``name`` may be a dynamic value template ("$(event_type)_seen" —
+    Metrics.py:55-66) or a Column. With ``value_field``: min/max/mean/std
+    and exact percentiles (numpy.percentile analog → Spark `percentile`,
+    linear interpolation, same definition). With ``buckets``: histogram
+    counts via width_bucket (numpy.digitize right=False analog).
+    """
+    if isinstance(name, str):
+        name_col = (dynamic_value_col(name, df.columns)
+                    if has_dynamic_refs(name) else F.lit(name))
+    else:
+        name_col = name
+    base = df.withColumn("_metric_name", name_col)
+    aggs: list[Column] = [F.count(F.lit(1)).alias("count")]
+    if value_field is not None:
+        v = F.col(value_field).cast("double")
+        aggs += [
+            F.min(v).alias("min"),
+            F.max(v).alias("max"),
+            F.avg(v).alias("mean"),
+            F.stddev_pop(v).alias("std"),
+        ]
+        for p in percentiles:
+            aggs.append(
+                F.percentile(v, F.lit(p / 100.0)).alias(f"p{p:g}".replace(".", "_"))
+            )
+    out = base.groupBy(F.col("_metric_name").alias("metric")).agg(*aggs)
+    if buckets and value_field is not None:
+        # partial-agg friendly: per (metric, bucket) counts, then a tiny
+        # per-metric map rollup
+        hist = (
+            base.withColumn(
+                "bucket",
+                F.width_bucket(
+                    F.col(value_field).cast("double"),
+                    F.lit(float(buckets[0])),
+                    F.lit(float(buckets[-1])),
+                    len(buckets) - 1,
+                ),
+            )
+            .groupBy(F.col("_metric_name").alias("metric"), F.col("bucket"))
+            .agg(F.count(F.lit(1)).alias("bucket_count"))
+        )
+        return out.join(
+            hist.groupBy("metric").agg(
+                F.map_from_entries(
+                    F.sort_array(F.collect_list(F.struct("bucket", "bucket_count")))
+                ).alias("histogram")
+            ),
+            "metric",
+        )
+    return out
+
+
+def math_op(
+    df: DataFrame,
+    target_field: str,
+    function: str,
+    interval_key: Column | str | None = None,
+    results_function: str | None = None,
+) -> DataFrame:
+    """modifier.Math. ``function`` is a SQL arithmetic expression over
+    columns (the reference eval()s Python — we compile SQL once,
+    Math.py:98-106). Without interval: adds ``target_field`` per row.
+    With ``interval_key`` + ``results_function`` (an aggregate SQL expr
+    over ``target_field``): emits one aggregated row per key
+    (Math.py:67-94's timed-flush analog)."""
+    out = df.withColumn(target_field, F.expr(function))
+    if interval_key is None:
+        return out
+    key = F.col(interval_key) if isinstance(interval_key, str) else interval_key
+    agg = F.expr((results_function or f"sum({target_field})"))
+    return out.groupBy(key.alias("interval_key")).agg(agg.alias(target_field))
+
+
+def throttle(
+    df: DataFrame,
+    key: str | Column,
+    timeframe_col: Column | None = None,
+    min_count: int = 1,
+    max_count: int | None = None,
+) -> DataFrame:
+    """misc.Throttle (/root/reference/lumbermill/misc/Throttle.py:60-110):
+    pass an event only when the number of events sharing its ``key``
+    within the timeframe is in [min_count, max_count].
+
+    Batch form: the timeframe is ``timeframe_col`` (e.g.
+    ``F.window('ts', '1 hour')`` or a date_trunc column); None = whole
+    input as one frame. Implemented as groupBy-count + broadcast-back
+    semi-join style filter rather than a window function: the count
+    table is (keys × frames) rows — small — so the join broadcasts and
+    the big side never shuffles. (A window function would shuffle the
+    full fact table on (key, frame).)
+    """
+    kcol = F.col(key) if isinstance(key, str) else key
+    keyed = df.withColumn("_thr_key", kcol)
+    group = ["_thr_key"]
+    if timeframe_col is not None:
+        keyed = keyed.withColumn("_thr_frame", timeframe_col)
+        group.append("_thr_frame")
+    counts = keyed.groupBy(*group).agg(F.count(F.lit(1)).alias("_thr_n"))
+    cond = counts["_thr_n"] >= min_count
+    if max_count is not None:
+        cond = cond & (counts["_thr_n"] <= max_count)
+    passing = F.broadcast(counts.filter(cond).select(*group))
+    out = keyed.join(passing, on=group, how="inner")
+    return out.drop("_thr_key", "_thr_frame", "_thr_n")
