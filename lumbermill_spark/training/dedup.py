@@ -1,0 +1,329 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not in the reference (its nearest notion is stable-doc_id dedup in
+misc/EventBuffer.py:29-31); these are the standard corpus-dedup suite
+expressed Spark-first:
+
+- exact:      hash-groupBy keep-first — one shuffle on the content hash.
+- n-gram Jaccard: exact set similarity on candidate pairs.
+- MinHash+LSH: shingle → signature (map-side-combinable min aggregates)
+  → band → bucket-join → candidate pairs → exact verify.
+- SimHash:    64-bit sign-of-weighted-sum fingerprint; near-dup =
+  small Hamming distance, candidates via 16-bit chunk banding.
+- embedding cosine: see training/similarity.py (near_duplicate_pairs).
+
+Scale design: every stage is groupBy/join shaped. MinHash signatures
+are computed as 2H min-aggregates over exploded shingle hashes — the
+partial aggregation collapses each partition to one row per doc before
+the shuffle. LSH banding turns the quadratic pair problem into
+groupBy(band_hash); bucket skew (a degenerate band value) is capped by
+``max_bucket`` exactly like production dedup pipelines cap posting
+lists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^61-1: universal-hash modulus, fits in int64
+_P = (1 << 61) - 1
+
+
+# --------------------------------------------------------------------- #
+# exact
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id",
+                normalize: bool = True) -> DataFrame:
+    """Keep the lowest-id row per distinct (normalized) text.
+
+    groupBy(content) + min_by: one shuffle keyed on the text hash,
+    map-side combined. Output keeps every column of the winning row.
+    """
+    key = F.lower(F.trim(F.col(text_col))) if normalize else F.col(text_col)
+    return (
+        df.withColumn("_k", F.sha2(key.cast("string"), 256))
+        .groupBy("_k")
+        .agg(F.min_by(F.struct(*df.columns), F.col(id_col)).alias("_row"))
+        .select("_row.*")
+    )
+
+
+# --------------------------------------------------------------------- #
+# shingles / n-grams
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (space-joined), pure JVM: split → sequence
+    of start offsets → slice+join. Empty/short docs give []."""
+    words = F.split(F.trim(text), r"\s+")
+    count = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+    return F.array_distinct(
+        F.when(count > 0, grams).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.0,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact Jaccard over word n-gram sets for candidate pairs.
+
+    ``block_col`` bounds the self-join (pairs only within a block —
+    source, LSH bucket, …); None = full cross pairing (test scale only:
+    the join is O(n²) without blocking, which is exactly what the
+    MinHash path avoids).
+    Output: (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
+        word_shingles(F.col(text_col), n).alias("_sh"),
+    )
+    a = sh.select(
+        F.col("_id").alias("id_a"),
+        *( [F.col("_blk")] if block_col else [] ),
+        F.col("_sh").alias("_sh_a"),
+    )
+    b = sh.select(
+        F.col("_id").alias("id_b"),
+        *( [F.col("_blk")] if block_col else [] ),
+        F.col("_sh").alias("_sh_b"),
+    )
+    joined = (a.join(b, on=["_blk"]) if block_col else a.crossJoin(b)).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
+    union = F.size(F.array_union("_sh_a", "_sh_b")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    out = joined.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    if threshold > 0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
+# --------------------------------------------------------------------- #
+# MinHash + LSH
+
+def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a*x + b) mod P, derived
+    from the seed by splitmix-style mixing (no RNG state)."""
+    params = []
+    s = seed & 0xFFFFFFFFFFFFFFFF
+    for _ in range(num_hashes):
+        s = (s + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = s
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        a = (z % (_P - 1)) + 1
+        s = (s + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = s ^ (s >> 31)
+        b = z % _P
+        params.append((a, b))
+    return params
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig: array<bigint>[num_hashes]).
+
+    Explode shingle hashes → groupBy(id) with one min-aggregate per
+    hash function: partial aggregation reduces each partition to a
+    single row per doc before the shuffle, so the shuffle volume is
+    O(docs × H), independent of shingle count.
+    """
+    params = _hash_params(num_hashes, seed)
+    exploded = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode_outer(word_shingles(F.col(text_col), shingle_n)).alias("_sh"),
+    ).withColumn("_h", F.pmod(F.xxhash64("_sh"), F.lit(_P)))
+    aggs = [
+        F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(_P))).alias(f"_m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sigs = exploded.groupBy("_id").agg(*aggs)
+    sig_arr = F.array(*[F.coalesce(F.col(f"_m{i}"), F.lit(_P)) for i in range(num_hashes)])
+    return sigs.select(F.col("_id").alias(id_col), sig_arr.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
+
+    signature → ``bands`` band-hashes → explode → groupBy(band, hash)
+    bucket join → distinct candidate pairs → verify with exact n-gram
+    Jaccard ≥ threshold. Buckets larger than ``max_bucket`` are dropped
+    (degenerate-content guard; at corpus scale those are boilerplate
+    clusters handled by exact dedup first).
+    Output: (id_a, id_b, jaccard).
+    """
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
+    banded = sigs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bidx: F.struct(
+                    bidx.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("sig"), bidx * rows_per_band + 1,
+                                        rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bhash"),
+                ),
+            )
+        ).alias("_b"),
+    ).select("_id", "_b.band", "_b.bhash")
+    buckets = (
+        banded.groupBy("band", "bhash")
+        .agg(F.sort_array(F.collect_set("_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    # all in-bucket pairs (ids sorted, so a<b by construction)
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size("ids")),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("_p")
+    ).select("_p.id_a", "_p.id_b").distinct()
+
+    sh = df.select(F.col(id_col).alias("_vid"),
+                   word_shingles(F.col(text_col), shingle_n).alias("_vsh"))
+    verified = (
+        pairs.join(sh.withColumnRenamed("_vid", "id_a")
+                     .withColumnRenamed("_vsh", "_sh_a"), "id_a")
+        .join(sh.withColumnRenamed("_vid", "id_b")
+                .withColumnRenamed("_vsh", "_sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
+    union = F.size(F.array_union("_sh_a", "_sh_b")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        verified.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------- #
+# SimHash
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """(id, simhash: bigint) — sign of per-bit weighted token-hash votes.
+
+    Explode tokens → one sum-aggregate per bit (±1 votes) → recombine.
+    Like minhash_signatures, shuffle volume is O(docs × bits) thanks to
+    partial aggregation. All arithmetic is JVM-side.
+    """
+    if not 0 < bits <= 64:
+        raise ValueError("bits in (0, 64]")
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode_outer(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_t"),
+    ).withColumn("_h", F.xxhash64("_t"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"_v{b}")
+        for b in range(bits)
+    ]
+    votes = toks.groupBy("_id").agg(*aggs)
+    fp = None
+    for b in range(bits):
+        bitval = F.when(F.col(f"_v{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bitval, b)
+        fp = term if fp is None else fp.bitwiseXOR(term)  # disjoint bits: xor == or
+    return votes.select(F.col("_id").alias(id_col), fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 64,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Candidates via 4×16-bit chunk banding (pigeonhole: distance ≤ 3
+    guarantees one identical chunk), verified with bit_count(xor).
+    Output: (id_a, id_b, hamming).
+    """
+    fps = simhash(df, text_col, id_col, bits)
+    nchunks = 4
+    width = bits // nchunks
+    mask = (1 << width) - 1
+    chunks = fps.select(
+        F.col(id_col).alias("_id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk"),
+                    F.shiftright(F.col("simhash"), c * width)
+                    .bitwiseAND(F.lit(mask)).alias("cval"),
+                )
+                for c in range(nchunks)
+            ])
+        ).alias("_c"),
+    ).select("_id", "simhash", "_c.chunk", "_c.cval")
+    a = chunks.select(F.col("chunk"), F.col("cval"),
+                      F.col("_id").alias("id_a"), F.col("simhash").alias("_fa"))
+    b = chunks.select(F.col("chunk"), F.col("cval"),
+                      F.col("_id").alias("id_b"), F.col("simhash").alias("_fb"))
+    cand = (
+        a.join(b, ["chunk", "cval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_fa", "_fb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb")))
+    return (
+        cand.select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

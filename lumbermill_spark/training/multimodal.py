@@ -1,0 +1,155 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata.
+
+The Spark-side contract is real and tested — schema, Arrow batch shape,
+mapInPandas partitioning, metadata propagation. The codec step itself is
+STUBBED: the runtime here has no image/audio libraries, so ``decode``
+either raises NotImplementedError (``codec='real'``) or produces a
+deterministic fake derived from the payload bytes (``codec='fake'``,
+used by tests and benchmarks). Swapping in PIL/libsndfile later touches
+only ``_decode_fake`` → a real decoder; every plan stays identical.
+
+Design notes for 100 TB of media:
+- binary payloads ride in parquet/Iceberg BINARY columns; Spark never
+  materializes them except inside the Arrow batches of the decode stage;
+- decode is mapInPandas (iterator form): per-partition batch streaming,
+  no per-row Python, bounded memory via arrow.maxRecordsPerBatch —
+  lower it for large payloads;
+- decoded features (dims, frames, embeddings) are small typed columns;
+  downstream stages prune the binary away (column pruning does this
+  automatically once the select drops it).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType([
+    T.StructField("media_type", T.StringType()),     # image|audio|video
+    T.StructField("format", T.StringType()),         # png|jpg|wav|mp4|...
+    T.StructField("size_bytes", T.LongType()),
+])
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("meta", MEDIA_META),
+])
+
+IMAGE_FEATURES = T.StructType([
+    T.StructField("media_id", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("mean_luma", T.DoubleType()),
+])
+
+
+def synth_media(spark, n_rows: int, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (payload = hash-derived bytes)."""
+    df = spark.range(n_rows)
+    payload = F.sha2(F.concat(F.lit(seed), F.col("id")), 256).cast("binary")
+    fmt = F.element_at(
+        F.array(F.lit("png"), F.lit("jpg"), F.lit("webp")),
+        (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(3)) + 1).cast("int"),
+    )
+    return df.select(
+        F.format_string("m-%09d", F.col("id")).alias("media_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("image").alias("media_type"),
+            fmt.alias("format"),
+            F.length(payload).cast("long").alias("size_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _decode_fake(payload: bytes) -> tuple[int, int, int, float]:
+    """Deterministic pseudo-decode: dims/luma from a digest of the
+    payload. Replace with a real decoder (PIL.Image.open etc.)."""
+    d = hashlib.sha256(payload).digest()
+    width = 64 + d[0] * 4
+    height = 64 + d[1] * 4
+    channels = 3 if d[2] % 4 else 1
+    mean_luma = round(d[3] / 255.0, 6)
+    return width, height, channels, mean_luma
+
+
+def decode_images(df: DataFrame, codec: str = "real") -> DataFrame:
+    """payload → typed image features via mapInPandas (iterator of
+    Arrow batches; constant memory per partition)."""
+    if codec not in ("real", "fake"):
+        raise ValueError("codec must be 'real' or 'fake'")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if codec == "real":
+                raise NotImplementedError(
+                    "no image codec in this runtime; use codec='fake' "
+                    "or plug a real decoder into decode_images"
+                )
+            feats = [_decode_fake(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                feats, columns=["width", "height", "channels", "mean_luma"]
+            )
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return df.mapInPandas(run, IMAGE_FEATURES)
+
+
+def resize_stub(df: DataFrame, width: int, height: int,
+                codec: str = "real") -> DataFrame:
+    """Resize plumbing: binary in → binary out, same partitioning.
+    Fake codec passes the payload through and annotates target dims."""
+    out_schema = T.StructType([
+        T.StructField("media_id", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if codec == "real":
+                raise NotImplementedError("no image codec in this runtime")
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "payload": pdf["payload"],
+                "width": width,
+                "height": height,
+            })
+
+    return df.mapInPandas(run, out_schema)
+
+
+def frame_sample_stub(df: DataFrame, every_n: int = 30,
+                      codec: str = "real") -> DataFrame:
+    """Video frame-sampling plumbing (1→N rows per video). Fake codec
+    emits deterministic frame count = size_bytes % 5 + 1."""
+    out_schema = T.StructType([
+        T.StructField("media_id", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if codec == "real":
+                raise NotImplementedError("no video codec in this runtime")
+            rows = {"media_id": [], "frame_idx": [], "payload": []}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                n = len(bytes(p)) % 5 + 1
+                for i in range(n):
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(i * every_n)
+                    rows["payload"].append(bytes(p))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, out_schema)

@@ -1,0 +1,196 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the standard ANN recipe:
+
+- brute-force cosine top-k: exact baseline. queries × corpus join →
+  cosine → window top-k. All JVM expressions (zip_with/aggregate fold),
+  no Python in the hot path. At 100 TB the corpus side stays put and the
+  (small) query side broadcasts: the join is a BroadcastNestedLoopJoin
+  over each corpus partition — embarrassingly parallel, no shuffle of
+  the corpus.
+- LSH-bucketed (random hyperplane / SRP): corpus is pre-bucketed by the
+  sign-bit signature of h deterministic hyperplanes; queries probe only
+  their own bucket (+ optional multi-probe by flipping bits). Turns
+  top-k from O(N) per query into O(N / 2^h) expected, the scale path.
+  Hyperplanes are derived from a seed via xxhash64 — deterministic,
+  no RNG state, computable identically on any cluster size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i as a JVM fold (double accumulation)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact top-k neighbors per query row.
+
+    Output: (query_id, neighbor_id, cos, rank). Self-matches (same id)
+    are excluded when ids share a namespace. Ties broken by neighbor_id
+    for determinism.
+    """
+    qid = query_id_col or id_col
+    q = queries.select(F.col(qid).alias("query_id"),
+                       F.col(vec_col).alias("_qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("_cv"))
+    joined = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    scored = joined.select(
+        "query_id", "neighbor_id",
+        F.round(cosine(F.col("_qv"), F.col("_cv")), round_to).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def near_duplicate_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (embedding near-dup dedup).
+
+    block_col (e.g. an SRP bucket from ``srp_signature``) bounds the
+    self-join; None = full O(n²) (test scale only).
+    Output: (id_a, id_b, cos), id_a < id_b.
+    """
+    cols = [F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")]
+    if block_col:
+        cols.append(F.col(block_col).alias("_blk"))
+    base = df.select(*cols)
+    a = base.select(*[c.alias(n) for c, n in zip(
+        [F.col("_id"), F.col("_v")] + ([F.col("_blk")] if block_col else []),
+        ["id_a", "_va"] + (["_blk"] if block_col else []))])
+    b = base.select(*[c.alias(n) for c, n in zip(
+        [F.col("_id"), F.col("_v")] + ([F.col("_blk")] if block_col else []),
+        ["id_b", "_vb"] + (["_blk"] if block_col else []))])
+    joined = (a.join(b, on=["_blk"]) if block_col else a.crossJoin(b)).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    return (
+        joined.select(
+            "id_a", "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), round_to).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------- #
+# LSH (signed random projection) scale path
+
+def _hyperplane(dim: int, plane: int, seed: int) -> list[float]:
+    """Deterministic pseudo-gaussian-ish hyperplane from hash mixing.
+
+    Uniform in [-1, 1) per component — for SRP only the direction's
+    randomness matters, not gaussianity.
+    """
+    out = []
+    for i in range(dim):
+        h = (plane * 1_000_003 + i) ^ (seed * 0x9E3779B9)
+        h = (h * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        h ^= h >> 31
+        out.append((h % (1 << 24)) / float(1 << 23) - 1.0)
+    return out
+
+
+def srp_signature(
+    df: DataFrame,
+    dim: int,
+    num_planes: int = 8,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    out_col: str = "srp_bucket",
+) -> DataFrame:
+    """Add an int bucket column: bit b = sign(v · hyperplane_b).
+
+    Pure JVM: each plane is a literal array; the dot is a zip_with fold.
+    2^num_planes expected buckets; cosine-similar vectors collide with
+    probability (1 - θ/π)^num_planes.
+    """
+    sig: Column = F.lit(0).cast("long")
+    for p in range(num_planes):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, p, seed)])
+        bit = (dot(F.col(vec_col), plane) > 0).cast("long")
+        sig = sig + F.shiftleft(bit, p)
+    return df.withColumn(out_col, sig)
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate top-k: probe only the query's SRP bucket.
+
+    Recall < 1 by construction (bucket-boundary misses); the exact
+    baseline (cosine_topk) is the oracle to measure that recall against.
+    The join is an equi-join on bucket — shuffle-partitionable, no
+    broadcast requirement, so the query side may be arbitrarily large
+    (batch ANN over the whole corpus against itself included).
+    """
+    c = srp_signature(
+        corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("_cv")),
+        dim, num_planes, "_cv", seed)
+    q = srp_signature(
+        queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("_qv")),
+        dim, num_planes, "_qv", seed)
+    joined = c.join(q, on=["srp_bucket"]).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = joined.select(
+        "query_id", "neighbor_id",
+        F.round(cosine(F.col("_qv"), F.col("_cv")), round_to).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,125 @@
+"""Text analysis for training-data curation: language-ID, quality
+scoring, token counting, document fingerprinting.
+
+All pure JVM expressions (split/array ops/hashes) — these run inside
+whole-stage codegen with zero Python, so they cost about as much as a
+projection even at 100 TB. Heuristics are deliberately simple and
+deterministic: the goal is curation *signals* with exact
+reproducibility, not model-grade accuracy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets (distinct words, lowercase)
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "es": ["el", "la", "de", "y", "que", "los", "una"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une"],
+    "zh": ["de", "shi", "bu", "le", "wo", "zai", "you"],
+}
+
+
+def words(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def distinct_words(text: Column) -> Column:
+    return F.array_distinct(F.transform(words(text), F.lower))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """lang -> count of distinct stopwords present."""
+    dw = distinct_words(text)
+    return {
+        lang: F.size(F.array_intersect(dw, F.array(*[F.lit(w) for w in ws])))
+        for lang, ws in STOPWORDS.items()
+    }
+
+
+def detect_language(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "lang_pred",
+    min_hits: int = 1,
+) -> DataFrame:
+    """Stopword-overlap language ID; ties broken by language-key order,
+    below ``min_hits`` → 'und' (undetermined)."""
+    scores = lang_scores(F.col(text_col))
+    langs = list(scores)
+    best_lang: Column = F.lit(langs[0])
+    best_score: Column = scores[langs[0]]
+    for lang in langs[1:]:
+        is_better = scores[lang] > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, scores[lang]).otherwise(best_score)
+    pred = F.when(best_score >= min_hits, best_lang).otherwise(F.lit("und"))
+    return df.withColumn(out_col, pred)
+
+
+def quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "quality",
+    round_to: int = 6,
+) -> DataFrame:
+    """Composite [0,1] quality signal: length saturation, mean word
+    length plausibility, stopword density. Adds ``n_words``,
+    ``mean_word_len``, ``stopword_ratio``, ``out_col``."""
+    t = F.col(text_col)
+    wsplit = words(t)
+    n_words = F.size(wsplit)
+    n_chars = F.length(t)
+    mean_wl = F.when(n_words > 0, n_chars.cast("double") / n_words).otherwise(
+        F.lit(0.0)
+    )
+    en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    sw_hits = F.size(
+        F.filter(F.transform(wsplit, F.lower), lambda w: F.array_contains(en, w))
+    )
+    sw_ratio = F.when(n_words > 0, sw_hits.cast("double") / n_words).otherwise(
+        F.lit(0.0)
+    )
+    len_score = F.least(n_words.cast("double") / 100.0, F.lit(1.0))
+    wl_score = F.when((mean_wl >= 3.0) & (mean_wl <= 10.0), 1.0).otherwise(0.5)
+    sw_score = F.least(sw_ratio * 5.0, F.lit(1.0))
+    score = len_score * 0.4 + wl_score * 0.3 + sw_score * 0.3
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("mean_word_len", F.round(mean_wl, round_to))
+        .withColumn("stopword_ratio", F.round(sw_ratio, round_to))
+        .withColumn(out_col, F.round(score, round_to))
+    )
+
+
+def token_counts(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Adds ``n_ws_tokens`` (whitespace tokens), ``n_subword_est`` (the
+    ~4-chars-per-BPE-token estimate), ``n_chars_calc``."""
+    t = F.col(text_col)
+    return (
+        df.withColumn("n_ws_tokens", F.size(words(t)))
+        .withColumn("n_chars_calc", F.length(t))
+        .withColumn("n_subword_est",
+                    F.ceil(F.length(t).cast("double") / 4.0).cast("long"))
+    )
+
+
+def fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "fingerprint",
+    normalized: bool = True,
+) -> DataFrame:
+    """Content fingerprint: md5 of (normalized) text — the exact-dedup /
+    provenance key. md5 over xxhash64 here because the oracle engines
+    (DuckDB et al.) compute the identical digest."""
+    t = F.col(text_col)
+    if normalized:
+        t = F.lower(F.regexp_replace(F.trim(t), r"\s+", " "))
+    return df.withColumn(out_col, F.md5(t))

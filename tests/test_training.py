@@ -1,0 +1,172 @@
+"""Dedup / similarity / textstats / multimodal plumbing."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from lumbermill_spark.training import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "a"),
+        (2, "the quick brown fox jumps over the lazy cat", "a"),  # near-dup of 1
+        (3, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG", "a"),  # exact (normalized) dup of 1
+        (4, "completely different content about spark engines", "b"),
+        (5, "der hund und die katze sind nicht da", "b"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_exact_dedup(docs):
+    kept = dedup.exact_dedup(docs).collect()
+    ids = sorted(r["doc_id"] for r in kept)
+    assert ids == [1, 2, 4, 5]  # 3 collapses into 1
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "t string")
+    out = df.select(dedup.word_shingles(F.col("t"), 2).alias("s")).first()["s"]
+    assert sorted(out) == ["a b", "b c", "c d"]
+    short = spark.createDataFrame([("a",)], "t string")
+    assert short.select(dedup.word_shingles(F.col("t"), 3).alias("s")).first()["s"] == []
+
+
+def test_ngram_jaccard_pairs(docs):
+    out = dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.3)
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert (1, 2) in pairs
+    # "…lazy dog" vs "…lazy cat": 8 bigrams each, 7 shared -> 7/9
+    assert abs(pairs[(1, 2)] - 7 / 9) < 1e-6
+    assert (1, 4) not in pairs
+
+
+def test_ngram_jaccard_blocked(docs):
+    out = dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.0, block_col="source")
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (4, 5) in pairs and (1, 4) not in pairs
+
+
+def test_minhash_signature_properties(docs):
+    sigs = {r["doc_id"]: r["sig"]
+            for r in dedup.minhash_signatures(docs, num_hashes=16).collect()}
+    assert all(len(s) == 16 for s in sigs.values())
+    # identical shingle sets -> identical signatures? doc1 vs doc3 differ
+    # (case), so compare doc against itself via determinism instead
+    sigs2 = {r["doc_id"]: r["sig"]
+             for r in dedup.minhash_signatures(docs, num_hashes=16).collect()}
+    assert sigs == sigs2
+    # near-dups agree on most hash slots
+    agree = sum(a == b for a, b in zip(sigs[1], sigs[2]))
+    differ = sum(a == b for a, b in zip(sigs[1], sigs[4]))
+    assert agree > differ
+
+
+def test_minhash_lsh_pairs(docs):
+    out = dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=16, shingle_n=2,
+                                  threshold=0.3)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (1, 2) in got
+    assert all(a < b for a, b in got)
+
+
+def test_simhash_and_pairs(docs):
+    fps = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert len(fps) == 5
+    ham12 = bin(fps[1] ^ fps[2]).count("1")
+    ham14 = bin(fps[1] ^ fps[4]).count("1")
+    assert ham12 < ham14  # near-dups closer in hamming space
+    pairs = dedup.simhash_pairs(docs, max_hamming=ham12).collect()
+    assert any(r["id_a"] == 1 and r["id_b"] == 2 for r in pairs)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),     # close to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+        (4, [-1.0, 0.0, 0.0]),    # opposite of 0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(vecs):
+    out = similarity.cosine_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=2)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in rows] == [1, 2]
+    expected = 0.9 / math.sqrt(0.9**2 + 0.1**2)
+    assert abs(rows[0]["cos"] - expected) < 1e-5
+
+
+def test_near_duplicate_pairs(vecs):
+    out = similarity.near_duplicate_pairs(vecs, threshold=0.95)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert got == {(0, 1)}
+
+
+def test_srp_and_ann(vecs):
+    bucketed = similarity.srp_signature(vecs, dim=3, num_planes=4)
+    b = {r["vec_id"]: r["srp_bucket"] for r in bucketed.collect()}
+    assert b[0] == b[1]          # near-identical vectors share the bucket
+    assert b[0] != b[4]          # opposite vectors cannot share all signs
+    ann = similarity.ann_lsh_topk(vecs, vecs.filter(F.col("vec_id") == 0),
+                                  dim=3, k=2, num_planes=4)
+    rows = ann.collect()
+    assert rows and rows[0]["neighbor_id"] == 1
+
+
+def test_detect_language(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat is on a mat and the dog"),
+         (2, "der hund und die katze ist nicht"),
+         (3, "el perro y la casa de los gatos"),
+         (4, "zzz qqq xxx")],
+        "id long, text string",
+    )
+    out = {r["id"]: r["lang_pred"]
+           for r in textstats.detect_language(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "es", 4: "und"}
+
+
+def test_quality_and_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox is one of the best")], "id long, text string"
+    )
+    q = textstats.quality_score(df).first()
+    assert q["n_words"] == 9
+    assert 0.0 < q["quality"] <= 1.0
+    t = textstats.token_counts(df).first()
+    assert t["n_ws_tokens"] == 9
+    assert t["n_subword_est"] == math.ceil(len("the quick brown fox is one of the best") / 4)
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "other")],
+        "id long, text string",
+    )
+    out = textstats.fingerprint(df).collect()
+    fp = {r["id"]: r["fingerprint"] for r in out}
+    assert fp[1] == fp[2] != fp[3]
+
+
+def test_multimodal_decode_and_frames(spark):
+    media = multimodal.synth_media(spark, 20)
+    feats = multimodal.decode_images(media, codec="fake")
+    rows = feats.collect()
+    assert len(rows) == 20
+    assert all(64 <= r["width"] <= 64 + 255 * 4 for r in rows)
+    # determinism
+    again = multimodal.decode_images(media, codec="fake").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    with pytest.raises(Exception, match="NotImplementedError|no image codec"):
+        multimodal.decode_images(media, codec="real").collect()
+    frames = multimodal.frame_sample_stub(media.limit(5), codec="fake")
+    fr = frames.collect()
+    assert len(fr) >= 5
+    resized = multimodal.resize_stub(media.limit(3), 224, 224, codec="fake").collect()
+    assert all(r["width"] == 224 for r in resized)
