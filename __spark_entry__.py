@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship parse→enrich→route→aggregate pipeline over a
+                token table derived deterministically from the sf0.001
+                events parquet (BASELINE.json input_hint shape).
+queries()     — one entry per implemented operator family from
+                SURVEY.md §2 + the training-data suite; each callable
+                (spark, sf_dir) -> DataFrame.
+oracle_sql()  — DuckDB twins. Omitted only for hash-based ops whose
+                hashes (xxhash64 / SRP planes) DuckDB cannot compute;
+                those get the driver's rows-only check.
+
+Column names and types are aligned pairwise (counts -> BIGINT/long,
+floats rounded to fixed decimals on both sides) so the driver's
+order-insensitive value hash matches.
 """
 
 from __future__ import annotations
@@ -12,27 +20,794 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lumbermill_spark.functions.tokens import decode_tokens, encode_line
+from lumbermill_spark.operators import field_actions, parsers, stateful, stats
+from lumbermill_spark.operators.lookup import enrich
+from lumbermill_spark.operators.parsers import RFC5424_FACILITIES, RFC5424_SEVERITIES
+from lumbermill_spark.operators.regex_parser import RegexParser
+from lumbermill_spark.router import SinkSpec, route
+from lumbermill_spark.training import dedup, similarity, textstats
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+
+
+# ===================================================================== #
+# flagship token pipeline (shared by entry + q30)
+
+_HTTPD_LINE_RE = (
+    r'^(?P<remote_ip>\d+\.\d+\.\d+\.\d+) - (?P<user>\S+) \[[^\]]+\] '
+    r'"(?P<method>\w+) (?P<url>\S+) HTTP/1\.0" (?P<http_status>\d+) '
+    r'(?P<bytes_send>\d+)$'
+)
+
+_STATUS_BY_TYPE = {"error": "500", "purchase": "402", "signup": "201",
+                   "click": "204", "view": "200"}
+_STATUS_CLASS = {"200": "success", "201": "success", "204": "success",
+                 "402": "client_error", "500": "server_error"}
+
+
+def _events_token_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (doc_id, tokens, n_tok, source) table derived from
+    the events parquet: each event becomes an httpd-style log line
+    (errors with value>=180 become corrupt payloads), byte-tokenized."""
+    ev = _t(spark, sf_dir, "events")
+    ip = F.format_string(
+        "10.0.%d.%d", F.pmod(F.col("user_id"), F.lit(200)),
+        (F.pmod(F.col("event_id"), F.lit(250)) + 1),
+    )
+    user = F.concat(F.lit("u"), F.col("user_id").cast("string"))
+    status = F.coalesce(
+        F.element_at(
+            F.create_map(*[F.lit(x) for kv in _STATUS_BY_TYPE.items() for x in kv]),
+            F.col("event_type"),
+        ),
+        F.lit("418"),
+    )
+    nbytes = F.floor(F.col("value")).cast("long")
+    line = F.when(
+        (F.col("event_type") == "error") & (F.col("value") >= 180.0),
+        F.lit("?? corrupt frame ??"),
+    ).otherwise(
+        F.format_string(
+            '%s - %s [01/Jan/2024:00:00:00 +0000] "GET /api/v1/items HTTP/1.0" %s %d',
+            ip, user, status, nbytes,
+        )
+    )
+    return ev.select(
+        F.format_string("doc-%012d", F.col("event_id")).alias("doc_id"),
+        encode_line(line).alias("tokens"),
+        F.col("event_type").alias("source"),
+    ).withColumn("n_tok", F.size("tokens").cast("int"))
+
+
+def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse (regex over decoded token view) → enrich (status map) →
+    route (matched/unmatched) → per-sink aggregates."""
+    tok = _events_token_table(spark, sf_dir)
+    parser = RegexParser(
+        [{"httpd_access_log": _HTTPD_LINE_RE}], engine="expr",
+    )
+    parsed = parser.apply(tok, tokens_col="tokens", drop_tokens=True)
+    # pre-aggregate on parsed keys, then enrich the tiny aggregate:
+    # status_class is a function of http_status, so mapping it after the
+    # groupBy evaluates the parse exprs exactly once over the wide data
+    pre = parsed.groupBy("event_type", "http_status").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_tok").cast("long").alias("sum_tok"),
+    )
+    enriched = field_actions.map_(
+        pre, "http_status", _STATUS_CLASS, target_field="status_class"
+    ).withColumn("status_class", F.coalesce(F.col("status_class"), F.lit("other")))
+    return (
+        enriched.groupBy("event_type", "status_class")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("sum_tok").alias("sum_tok"),
+        )
+    )
+
+
+_ORACLE_FLAGSHIP = r"""
+WITH tok AS (
+  SELECT
+    CASE WHEN event_type = 'error' AND value >= 180.0
+         THEN '?? corrupt frame ??'
+         ELSE printf('%s - %s [01/Jan/2024:00:00:00 +0000] "GET /api/v1/items HTTP/1.0" %s %d',
+                     printf('10.0.%d.%d', user_id % 200, (event_id % 250) + 1),
+                     'u' || CAST(user_id AS VARCHAR),
+                     CASE event_type WHEN 'error' THEN '500' WHEN 'purchase' THEN '402'
+                          WHEN 'signup' THEN '201' WHEN 'click' THEN '204'
+                          WHEN 'view' THEN '200' ELSE '418' END,
+                     CAST(floor(value) AS BIGINT))
+    END AS line
+  FROM events
+), parsed AS (
+  SELECT line,
+    CASE WHEN regexp_matches(line, '^\d+\.\d+\.\d+\.\d+ - \S+ \[[^\]]+\] "\w+ \S+ HTTP/1\.0" \d+ \d+$')
+         THEN 'httpd_access_log' ELSE 'Unknown' END AS event_type,
+    regexp_extract(line, ' HTTP/1\.0" (\d+) \d+$', 1) AS http_status,
+    length(line) AS n_tok
+  FROM tok
+)
+SELECT event_type,
+  CASE WHEN event_type = 'Unknown' THEN 'other'
+       ELSE CASE http_status WHEN '200' THEN 'success' WHEN '201' THEN 'success'
+            WHEN '204' THEN 'success' WHEN '402' THEN 'client_error'
+            WHEN '500' THEN 'server_error' ELSE 'other' END END AS status_class,
+  count(*) AS n_rows, CAST(sum(n_tok) AS BIGINT) AS sum_tok
+FROM parsed GROUP BY 1, 2
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _flagship(spark, "/root/testdata/sf0.001")
+
+
+# ===================================================================== #
+# queries
+
+def _q01_simple_stats(spark, sf):
+    return stats.simple_stats(_t(spark, sf, "events"))
+
+
+def _q02_regex_parse(spark, sf):
+    ev = _t(spark, sf, "events")
+    parser = RegexParser(
+        [
+            {"k_high": r'"k": (?P<kval>[5-9][0-9])\}'},
+            {"k_any": r'"k": (?P<kval>[0-9]+)\}'},
+        ],
+        source_field="props", engine="expr",
+    )
+    parsed = parser.apply(ev)
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("kval").alias("n_kvals"),
+    )
+
+
+def _q03_json_parse(spark, sf):
+    ev = _t(spark, sf, "events")
+    parsed = parsers.parse_json(ev, source_field="props", schema="k INT")
+    return parsed.groupBy("event_type").agg(
+        F.sum("k").cast("long").alias("sum_k"),
+        F.round(F.avg("k"), 4).alias("avg_k"),
+    )
+
+
+def _q04_datetime_bucket(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (
+        ev.withColumn("hour", F.date_format("ts", "yyyy-MM-dd HH"))
+        .groupBy("hour").agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+_EVENT_CATEGORY = {"click": "engagement", "view": "engagement",
+                   "signup": "conversion", "purchase": "conversion",
+                   "error": "failure"}
+
+
+def _q05_map_enrich(spark, sf):
+    ev = _t(spark, sf, "events")
+    mapped = field_actions.map_(ev, "event_type", _EVENT_CATEGORY,
+                                target_field="category")
+    return mapped.groupBy("category").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def _q06_field_actions(spark, sf):
+    ev = _t(spark, sf, "events").filter(F.col("event_id") < 100)
+    out = field_actions.insert(ev, "tag", "$(event_type)-$(user_id)")
+    out = field_actions.upper(out, ["tag"])
+    out = field_actions.slice_(out, "tag", target_field="tag3", start=0, end=3)
+    out = field_actions.replace(out, "tag", regex="-", with_="_")
+    return out.select("event_id", "tag", "tag3")
+
+
+def _q07_cast_semantics(spark, sf):
+    ev = _t(spark, sf, "events")
+    prepped = ev.withColumn("digits", F.regexp_extract("props", r"(\d+)", 1)) \
+                .withColumn("junk", F.lit("notanumber"))
+    cast_df = field_actions.cast_to_int(prepped, ["digits", "junk"])
+    return cast_df.agg(
+        F.sum("digits").cast("long").alias("sum_digits"),
+        F.sum("junk").cast("long").alias("sum_junk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def _q08_syslog_prival(spark, sf):
+    ev = _t(spark, sf, "events").withColumn(
+        "syslog_prival", F.pmod(F.col("event_id"), F.lit(192)).cast("int")
+    )
+    out = parsers.parse_syslog_prival(ev, "syslog_prival")
+    return out.groupBy("syslog_facility", "syslog_severity").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+def _q09_throttle(spark, sf):
+    ev = _t(spark, sf, "events")
+    passed = stats.throttle(
+        ev, "user_id", timeframe_col=F.date_trunc("hour", F.col("ts")),
+        min_count=2, max_count=5,
+    )
+    return passed.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_passed"))
+
+
+def _q10_facet(spark, sf):
+    docs = _t(spark, sf, "documents")
+    out = stats.facet(docs, "lang", "source")
+    return out.select(
+        "source", "facet_field", "facet_count",
+        F.array_join("facets", ",").alias("facets_csv"),
+    )
+
+
+def _q11_metrics_summary(spark, sf):
+    ev = _t(spark, sf, "events")
+    out = stats.metrics(ev, "$(event_type)", value_field="value",
+                        percentiles=[50, 95])
+    return out.select(
+        "metric", "count",
+        F.round("min", 4).alias("min_v"), F.round("max", 4).alias("max_v"),
+        F.round("mean", 4).alias("mean_v"), F.round("std", 4).alias("std_v"),
+        F.round("p50", 4).alias("p50_v"), F.round("p95", 4).alias("p95_v"),
+    )
+
+
+def _q12_metrics_histogram(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (
+        ev.withColumn(
+            "bucket",
+            F.width_bucket(F.col("value"), F.lit(0.0), F.lit(200.0), 8)
+            .cast("long"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def _q13_math_revenue(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    out = stats.math_op(li, "revenue", "l_extendedprice * (1 - l_discount)")
+    return out.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("revenue"), 2).alias("sum_revenue"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def _q14_broadcast_enrich(spark, sf):
+    cust = _t(spark, sf, "customer")
+    nat = _t(spark, sf, "nation")
+    reg = _t(spark, sf, "region")
+    out = enrich(cust, nat.withColumnRenamed("n_nationkey", "c_nationkey"),
+                 on="c_nationkey", how="inner")
+    out = enrich(out, reg.withColumnRenamed("r_regionkey", "n_regionkey"),
+                 on="n_regionkey", how="inner")
+    return out.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+    )
+
+
+def _q15_wordcount(spark, sf):
+    docs = _t(spark, sf, "documents")
+    words = docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("word")
+    )
+    return (
+        words.groupBy("word").agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 100)
+    )
+
+
+def _q16_merge_sessions(spark, sf):
+    ev = _t(spark, sf, "events")
+    out = stateful.merge_event(
+        ev, "user_id", "ts", "event_type",
+        start_pattern=r"^signup$", glue="|",
+    )
+    return out.select(
+        F.col("buffer_key").cast("long").alias("user_id"),
+        F.col("session").cast("long").alias("session"),
+        F.col("event_type").alias("chain"),
+        F.col("n_merged"),
+    )
+
+
+def _q17_permutate(spark, sf):
+    nat = _t(spark, sf, "nation")
+    reg = _t(spark, sf, "region")
+    grouped = (
+        enrich(nat, reg.withColumnRenamed("r_regionkey", "n_regionkey"),
+               on="n_regionkey", how="inner")
+        .groupBy("r_name")
+        .agg(F.sort_array(F.collect_set("n_name")).alias("names"))
+    )
+    return stateful.permutate(grouped, "names", ["nation_a", "nation_b"])
+
+
+def _q18_dedup_exact(spark, sf):
+    docs = _t(spark, sf, "documents")
+    kept = dedup.exact_dedup(docs)
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+def _q19_ngram_jaccard(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.05,
+                                     block_col="source")
+
+
+def _q20_minhash_lsh(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=16,
+                                   shingle_n=3, threshold=0.2)
+
+
+def _q21_simhash(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return dedup.simhash(docs)
+
+
+def _q22_embedding_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk(emb, q, k=5, round_to=4)
+
+
+def _q23_embedding_neardup(spark, sf):
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
+    return similarity.near_duplicate_pairs(emb, threshold=0.3, round_to=4)
+
+
+def _q24_ann_lsh(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return similarity.ann_lsh_topk(emb, q, dim=64, k=5, num_planes=6,
+                                   round_to=4)
+
+
+def _q25_langid(spark, sf):
+    docs = _t(spark, sf, "documents")
+    out = textstats.detect_language(docs)
+    return out.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def _q26_quality(spark, sf):
+    docs = _t(spark, sf, "documents")
+    out = textstats.quality_score(docs)
+    return out.select("doc_id", "n_words", "mean_word_len",
+                      "stopword_ratio", "quality")
+
+
+def _q27_token_counts(spark, sf):
+    docs = _t(spark, sf, "documents")
+    out = textstats.token_counts(docs)
+    return out.groupBy("source").agg(
+        F.sum("n_ws_tokens").cast("long").alias("sum_ws_tokens"),
+        F.sum("n_subword_est").cast("long").alias("sum_subword_est"),
+        F.sum("n_chars_calc").cast("long").alias("sum_chars"),
+    )
+
+
+def _q28_fingerprint(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return textstats.fingerprint(docs).select("doc_id", "fingerprint")
+
+
+def _q29_routed_sinks(spark, sf):
+    ev = _t(spark, sf, "events")
+    sinks = [
+        SinkSpec("errors", "$(event_type) == 'error'"),
+        SinkSpec("conversions",
+                 "$(event_type) in ('purchase', 'signup') and $(value) >= 150"),
+        SinkSpec("rest",
+                 "$(event_type) != 'error' and not "
+                 "($(event_type) in ('purchase', 'signup') and $(value) >= 150)"),
+    ]
+    branches = route(ev, sinks)
+    aggs = [
+        b.agg(F.count(F.lit(1)).alias("n_rows"),
+              F.round(F.sum("value"), 2).alias("sum_value"))
+         .select(F.lit(name).alias("sink"), "n_rows", "sum_value")
+        for name, b in branches.items()
+    ]
+    out = aggs[0]
+    for a in aggs[1:]:
+        out = out.unionByName(a)
+    return out
+
+
+def _q30_tokens_pipeline(spark, sf):
+    return _flagship(spark, sf)
+
+
+def _q31_tokens_roundtrip(spark, sf):
+    """Token-array invariant: encode→decode is identity; token arrays
+    survive the pipeline byte-exact (BASELINE per-row invariant)."""
+    tok = _events_token_table(spark, sf)
+    return tok.select(
+        "doc_id",
+        F.md5(decode_tokens("tokens")).alias("payload_md5"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_simple_stats": _q01_simple_stats,
+        "q02_regex_parse": _q02_regex_parse,
+        "q03_json_parse": _q03_json_parse,
+        "q04_datetime_bucket": _q04_datetime_bucket,
+        "q05_map_enrich": _q05_map_enrich,
+        "q06_field_actions": _q06_field_actions,
+        "q07_cast_semantics": _q07_cast_semantics,
+        "q08_syslog_prival": _q08_syslog_prival,
+        "q09_throttle": _q09_throttle,
+        "q10_facet": _q10_facet,
+        "q11_metrics_summary": _q11_metrics_summary,
+        "q12_metrics_histogram": _q12_metrics_histogram,
+        "q13_math_revenue": _q13_math_revenue,
+        "q14_broadcast_enrich": _q14_broadcast_enrich,
+        "q15_wordcount": _q15_wordcount,
+        "q16_merge_sessions": _q16_merge_sessions,
+        "q17_permutate": _q17_permutate,
+        "q18_dedup_exact": _q18_dedup_exact,
+        "q19_ngram_jaccard": _q19_ngram_jaccard,
+        "q20_minhash_lsh": _q20_minhash_lsh,
+        "q21_simhash": _q21_simhash,
+        "q22_embedding_topk": _q22_embedding_topk,
+        "q23_embedding_neardup": _q23_embedding_neardup,
+        "q24_ann_lsh": _q24_ann_lsh,
+        "q25_langid": _q25_langid,
+        "q26_quality": _q26_quality,
+        "q27_token_counts": _q27_token_counts,
+        "q28_fingerprint": _q28_fingerprint,
+        "q29_routed_sinks": _q29_routed_sinks,
+        "q30_tokens_pipeline": _q30_tokens_pipeline,
+        "q31_tokens_roundtrip": _q31_tokens_roundtrip,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# ===================================================================== #
+# oracle SQL (DuckDB dialect)
+
+def _oracle_syslog() -> str:
+    fac_case = " ".join(
+        f"WHEN {k} THEN '{v}'" for k, v in RFC5424_FACILITIES.items()
+    )
+    sev_case = " ".join(
+        f"WHEN {k} THEN '{v}'" for k, v in RFC5424_SEVERITIES.items()
+    )
+    return f"""
+    WITH p AS (SELECT CAST(event_id % 192 AS INTEGER) AS prival FROM events)
+    SELECT
+      coalesce(CASE (prival // 8) {fac_case} END,
+               CAST(prival // 8 AS VARCHAR)) AS syslog_facility,
+      coalesce(CASE (prival % 8) {sev_case} END,
+               CAST(prival % 8 AS VARCHAR)) AS syslog_severity,
+      count(*) AS n_rows
+    FROM p GROUP BY 1, 2
     """
-    return {}
+
+
+_SW = textstats.STOPWORDS
+
+
+def _sw_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in _SW[lang]) + "]"
+
+
+def _oracle_langid() -> str:
+    langs = list(_SW)
+    score_cols = ", ".join(
+        f"len(list_intersect(dw, {_sw_list(lang)})) AS s_{lang}" for lang in langs
+    )
+    # fold in dict order with strict > (ties keep the earlier language)
+    best_lang = f"'{langs[0]}'"
+    best_score = f"s_{langs[0]}"
+    for lang in langs[1:]:
+        best_lang = f"CASE WHEN s_{lang} > {best_score} THEN '{lang}' ELSE {best_lang} END"
+        best_score = f"greatest({best_score}, s_{lang})"
+    return f"""
+    WITH dwt AS (
+      SELECT list_distinct(list_transform(
+               regexp_split_to_array(trim(text), '\\s+'), x -> lower(x))) AS dw
+      FROM documents
+    ), s AS (SELECT {score_cols} FROM dwt)
+    SELECT CASE WHEN {best_score} >= 1 THEN {best_lang} ELSE 'und' END AS lang_pred,
+           count(*) AS n_rows
+    FROM s GROUP BY 1
+    """
+
+
+def _oracle_quality() -> str:
+    en = _sw_list("en")
+    return f"""
+    WITH b AS (
+      SELECT doc_id,
+        regexp_split_to_array(trim(text), '\\s+') AS w,
+        length(text) AS nc
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+        CAST(len(w) AS INTEGER) AS n_words,
+        CASE WHEN len(w) > 0 THEN CAST(nc AS DOUBLE) / len(w) ELSE 0.0 END AS mwl,
+        CASE WHEN len(w) > 0 THEN
+          CAST(len(list_filter(list_transform(w, x -> lower(x)),
+                               x -> list_contains({en}, x))) AS DOUBLE) / len(w)
+        ELSE 0.0 END AS swr
+      FROM b
+    )
+    SELECT doc_id, n_words,
+      round(mwl, 6) AS mean_word_len,
+      round(swr, 6) AS stopword_ratio,
+      round(least(n_words / 100.0, 1.0) * 0.4
+            + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.3
+            + least(swr * 5.0, 1.0) * 0.3, 6) AS quality
+    FROM m
+    """
+
+
+def _oracle_ngram_jaccard() -> str:
+    return """
+    WITH sh AS (
+      SELECT doc_id, source,
+        list_distinct(CASE WHEN len(w) >= 3 THEN
+          list_transform(generate_series(1, len(w) - 2),
+                         i -> array_to_string(w[i:i+2], ' '))
+        ELSE [] END) AS g
+      FROM (SELECT doc_id, source,
+                   regexp_split_to_array(trim(text), '\\s+') AS w
+            FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      round(CASE WHEN len(list_distinct(list_concat(a.g, b.g))) > 0 THEN
+        CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.g, b.g)))
+      ELSE 0.0 END, 6) AS jaccard
+    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE round(CASE WHEN len(list_distinct(list_concat(a.g, b.g))) > 0 THEN
+        CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.g, b.g)))
+      ELSE 0.0 END, 6) >= 0.05
+    """
+
+
+_ORACLE_COSINE = """
+    round(list_inner_product(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[]))
+          / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(a.embedding AS DOUBLE[])))
+             * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])))), 4)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    category_case = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in _EVENT_CATEGORY.items()
+    )
+    return {
+        "q01_simple_stats": """
+            SELECT event_type, count(*) AS events_received
+            FROM events GROUP BY 1
+        """,
+        "q02_regex_parse": r"""
+            WITH p AS (
+              SELECT CASE
+                  WHEN regexp_matches(props, '"k": [5-9][0-9]\}') THEN 'k_high'
+                  WHEN regexp_matches(props, '"k": [0-9]+\}') THEN 'k_any'
+                  ELSE 'Unknown' END AS event_type,
+                CASE
+                  WHEN regexp_matches(props, '"k": [5-9][0-9]\}')
+                    THEN regexp_extract(props, '"k": ([5-9][0-9])\}', 1)
+                  WHEN regexp_matches(props, '"k": [0-9]+\}')
+                    THEN regexp_extract(props, '"k": ([0-9]+)\}', 1)
+                  END AS kval
+              FROM events)
+            SELECT event_type, count(*) AS n_rows,
+                   count(DISTINCT kval) AS n_kvals
+            FROM p GROUP BY 1
+        """,
+        "q03_json_parse": """
+            SELECT event_type,
+              CAST(sum(json_extract_string(props, '$.k')::INT) AS BIGINT) AS sum_k,
+              round(avg(json_extract_string(props, '$.k')::INT), 4) AS avg_k
+            FROM events GROUP BY 1
+        """,
+        "q04_datetime_bucket": """
+            SELECT strftime(ts, '%Y-%m-%d %H') AS hour, count(*) AS n_rows
+            FROM events GROUP BY 1
+        """,
+        "q05_map_enrich": f"""
+            SELECT CASE event_type {category_case} END AS category,
+                   count(*) AS n_rows, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1
+        """,
+        "q06_field_actions": """
+            SELECT event_id,
+              replace(upper(event_type || '-' || CAST(user_id AS VARCHAR)),
+                      '-', '_') AS tag,
+              substr(upper(event_type || '-' || CAST(user_id AS VARCHAR)),
+                     1, 3) AS tag3
+            FROM events WHERE event_id < 100
+        """,
+        "q07_cast_semantics": r"""
+            SELECT
+              CAST(sum(coalesce(CAST(trunc(TRY_CAST(
+                regexp_extract(props, '(\d+)', 1) AS DOUBLE)) AS BIGINT), 0))
+                AS BIGINT) AS sum_digits,
+              CAST(sum(coalesce(CAST(trunc(TRY_CAST('notanumber' AS DOUBLE))
+                AS BIGINT), 0)) AS BIGINT) AS sum_junk,
+              count(*) AS n_rows
+            FROM events
+        """,
+        "q08_syslog_prival": _oracle_syslog(),
+        "q09_throttle": """
+            WITH c AS (
+              SELECT event_type,
+                count(*) OVER (PARTITION BY user_id, date_trunc('hour', ts)) AS n
+              FROM events)
+            SELECT event_type, count(*) AS n_passed
+            FROM c WHERE n BETWEEN 2 AND 5 GROUP BY 1
+        """,
+        "q10_facet": """
+            SELECT source, 'lang' AS facet_field,
+              count(DISTINCT lang) AS facet_count,
+              array_to_string(list_sort(list(DISTINCT lang)), ',') AS facets_csv
+            FROM documents GROUP BY source
+        """,
+        "q11_metrics_summary": """
+            SELECT event_type AS metric, count(*) AS count,
+              round(min(value), 4) AS min_v, round(max(value), 4) AS max_v,
+              round(avg(value), 4) AS mean_v,
+              round(stddev_pop(value), 4) AS std_v,
+              round(quantile_cont(value, 0.5), 4) AS p50_v,
+              round(quantile_cont(value, 0.95), 4) AS p95_v
+            FROM events GROUP BY 1
+        """,
+        "q12_metrics_histogram": """
+            SELECT event_type,
+              CAST(CASE WHEN value < 0 THEN 0
+                        WHEN value >= 200 THEN 9
+                        ELSE CAST(floor(value / 25.0) AS INTEGER) + 1
+                   END AS BIGINT) AS bucket,
+              count(*) AS n_rows
+            FROM events GROUP BY 1, 2
+        """,
+        "q13_math_revenue": """
+            SELECT l_returnflag, l_linestatus,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue,
+              round(avg(l_quantity), 4) AS avg_qty,
+              count(*) AS n_rows
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "q14_broadcast_enrich": """
+            SELECT r.r_name, count(*) AS n_customers,
+              round(sum(c.c_acctbal), 2) AS sum_acctbal
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1
+        """,
+        "q15_wordcount": r"""
+            SELECT word, count(*) AS n_occurrences
+            FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+                  FROM documents)
+            GROUP BY 1 HAVING count(*) > 100
+        """,
+        "q16_merge_sessions": """
+            WITH s AS (
+              SELECT user_id, ts, event_type,
+                sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts) AS session
+              FROM events)
+            SELECT user_id, CAST(session AS BIGINT) AS session,
+              string_agg(event_type, '|' ORDER BY ts, event_type) AS chain,
+              count(*) AS n_merged
+            FROM s GROUP BY 1, 2
+        """,
+        "q17_permutate": """
+            SELECT r.r_name, n1.n_name AS nation_a, n2.n_name AS nation_b
+            FROM region r
+            JOIN nation n1 ON n1.n_regionkey = r.r_regionkey
+            JOIN nation n2 ON n2.n_regionkey = r.r_regionkey
+            WHERE n1.n_name <> n2.n_name
+        """,
+        "q18_dedup_exact": """
+            WITH k AS (
+              SELECT md5(lower(trim(text))) AS h,
+                     min(doc_id) AS keep_id
+              FROM documents GROUP BY 1)
+            SELECT count(*) AS n_kept,
+              CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+            FROM k JOIN documents d ON d.doc_id = k.keep_id
+        """,
+        "q19_ngram_jaccard": _oracle_ngram_jaccard(),
+        "q22_embedding_topk": f"""
+            WITH scored AS (
+              SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+                {_ORACLE_COSINE} AS cos
+              FROM embeddings a, embeddings b
+              WHERE b.vec_id < 10 AND a.vec_id <> b.vec_id
+            ), ranked AS (
+              SELECT query_id, neighbor_id, cos,
+                CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+              FROM scored)
+            SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
+        """,
+        "q23_embedding_neardup": f"""
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              {_ORACLE_COSINE} AS cos
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id AND a.vec_id < 200 AND b.vec_id < 200
+              AND {_ORACLE_COSINE} >= 0.3
+        """,
+        "q25_langid": _oracle_langid(),
+        "q26_quality": _oracle_quality(),
+        "q27_token_counts": r"""
+            SELECT source,
+              CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+                AS BIGINT) AS sum_ws_tokens,
+              CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT))
+                AS BIGINT) AS sum_subword_est,
+              CAST(sum(length(text)) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY 1
+        """,
+        "q28_fingerprint": r"""
+            SELECT doc_id,
+              md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+                AS fingerprint
+            FROM documents
+        """,
+        "q29_routed_sinks": """
+            WITH t AS (
+              SELECT CASE
+                  WHEN event_type = 'error' THEN 'errors'
+                  WHEN event_type IN ('purchase', 'signup') AND value >= 150
+                    THEN 'conversions'
+                  ELSE 'rest' END AS sink,
+                value
+              FROM events)
+            SELECT sink, count(*) AS n_rows, round(sum(value), 2) AS sum_value
+            FROM t GROUP BY 1
+        """,
+        "q30_tokens_pipeline": _ORACLE_FLAGSHIP,
+        "q31_tokens_roundtrip": """
+            WITH tok AS (
+              SELECT event_id,
+                CASE WHEN event_type = 'error' AND value >= 180.0
+                     THEN '?? corrupt frame ??'
+                     ELSE printf('%s - %s [01/Jan/2024:00:00:00 +0000] "GET /api/v1/items HTTP/1.0" %s %d',
+                                 printf('10.0.%d.%d', user_id % 200, (event_id % 250) + 1),
+                                 'u' || CAST(user_id AS VARCHAR),
+                                 CASE event_type WHEN 'error' THEN '500'
+                                      WHEN 'purchase' THEN '402' WHEN 'signup' THEN '201'
+                                      WHEN 'click' THEN '204' WHEN 'view' THEN '200'
+                                      ELSE '418' END,
+                                 CAST(floor(value) AS BIGINT))
+                END AS line
+              FROM events)
+            SELECT printf('doc-%012d', event_id) AS doc_id,
+              md5(line) AS payload_md5,
+              CAST(length(line) AS BIGINT) AS n_tok
+            FROM tok
+        """,
+    }

@@ -1,0 +1,125 @@
+"""Benchmark harness (driver contract).
+
+Headline: the flagship parse→enrich→route→aggregate pipeline over the
+deterministic synthetic token table (BASELINE.md target metric —
+sequences/sec and tokens/sec). Plus per-query wall times for every
+``queries()`` entry at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <flagship secs>, "unit": "sec",
+   "queries": {...}, "sf": ..., "seq_per_sec": ..., "tok_per_sec": ...}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR     (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS       (default 32)
+  LMS_BENCH_ROWS         token-table rows (default 2_000_000)
+  LMS_BENCH_SKIP_QUERIES set to skip the per-query section
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from lumbermill_spark.data.synth import synth_tokens  # noqa: E402
+from lumbermill_spark.operators import field_actions  # noqa: E402
+from lumbermill_spark.operators.regex_parser import RegexParser  # noqa: E402
+from lumbermill_spark.pipelines_builtin import ACCESS_RULES, HTTP_STATUS_MAP  # noqa: E402
+from lumbermill_spark.router import SinkSpec, route_tag  # noqa: E402
+from lumbermill_spark.session import get_spark  # noqa: E402
+
+TOKEN_PATH = "/tmp/lms_bench/tokens"
+
+
+def prepare_tokens(spark, n_rows: int) -> None:
+    """Materialize the token table once (generation is not the thing
+    being measured)."""
+    marker = f"{TOKEN_PATH}/_n{n_rows}"
+    if os.path.exists(marker):
+        return
+    import shutil
+
+    shutil.rmtree(TOKEN_PATH, ignore_errors=True)
+    synth_tokens(spark, n_rows).write.mode("overwrite").parquet(TOKEN_PATH)
+    open(marker, "w").close()
+
+
+def flagship_once(spark) -> dict:
+    """One timed end-to-end run: read → regex parse (expr engine over
+    decoded token view) → pre-aggregate on the parsed keys → map-enrich
+    + 3-way route applied to the TINY aggregate → per-sink aggregates.
+
+    Routing tag and status class are pure functions of the group keys
+    (event_type, http_status), so they are applied after the
+    aggregation: the wide data is scanned once and every parsed column
+    is evaluated exactly once (Catalyst re-inlines derived expressions
+    across projections — deriving them pre-agg costs ~3x)."""
+    t0 = time.time()
+    df = spark.read.parquet(TOKEN_PATH)
+    parsed = RegexParser(ACCESS_RULES, engine="expr").apply(
+        df, tokens_col="tokens", drop_tokens=True)
+    pre = parsed.groupBy("event_type", "http_status").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_tok").cast("long").alias("sum_tok"),
+    )
+    enriched = field_actions.map_(
+        pre, "http_status", HTTP_STATUS_MAP, target_field="status_class"
+    )
+    sinks = [
+        SinkSpec("web", F.col("event_type").isin(
+            "httpd_access_log", "nginx_access_log")),
+        SinkSpec("firewall", F.col("event_type") == "iptables_log"),
+        SinkSpec("unmatched", F.col("event_type") == "Unknown"),
+    ]
+    tagged = route_tag(enriched, sinks)
+    rows = tagged.groupBy("sink", "event_type", "status_class").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("sum_tok").alias("sum_tok"),
+    ).collect()
+    secs = time.time() - t0
+    n_seq = sum(r["n_rows"] for r in rows)
+    n_tok = sum(r["sum_tok"] for r in rows)
+    return {"secs": secs, "n_seq": n_seq, "n_tok": n_tok,
+            "n_sinks": len(set(r["sink"] for r in rows))}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_rows = int(os.environ.get("LMS_BENCH_ROWS", "2000000"))
+    spark = get_spark("lms-bench")
+
+    prepare_tokens(spark, n_rows)
+    flagship_once(spark)            # warm-up (JIT, codegen, file listing)
+    flagship_once(spark)            # second warm-up: C2 JIT of codegen'd regex
+    r = flagship_once(spark)
+
+    query_secs: dict[str, float] = {}
+    if not os.environ.get("LMS_BENCH_SKIP_QUERIES"):
+        for name, fn in entrymod.queries().items():
+            t0 = time.time()
+            fn(spark, sf_dir).collect()
+            query_secs[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "flagship_parse_route_aggregate_secs",
+        "value": round(r["secs"], 3),
+        "unit": "sec",
+        "queries": query_secs,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "bench_rows": n_rows,
+        "seq_per_sec": round(r["n_seq"] / r["secs"], 1),
+        "tok_per_sec": round(r["n_tok"] / r["secs"], 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -65,6 +65,26 @@ def route(df: DataFrame, sinks: list[SinkSpec]) -> dict[str, DataFrame]:
     }
 
 
+def route_tag(df: DataFrame, sinks: list[SinkSpec],
+              tag_col: str = "sink", default: str | None = None) -> DataFrame:
+    """Single-pass routing for DISJOINT sinks: adds a ``sink`` column
+    (first matching sink wins — the reference's ordered receiver-filter
+    check, BaseModule.py:184-203). One scan tags every row; downstream
+    groupBy(sink)/partitionBy(sink) replaces N filtered branches — at
+    scale this is the difference between 1 and N passes over the data.
+    Rows matching no sink get ``default`` (None = dropped)."""
+    chain = None
+    for s in sinks:
+        pred = s.predicate()
+        if pred is None:
+            pred = F.lit(True)
+        chain = (F.when(pred, F.lit(s.name)) if chain is None
+                 else chain.when(pred, F.lit(s.name)))
+    tag = chain.otherwise(F.lit(default)) if chain is not None else F.lit(default)
+    out = df.withColumn(tag_col, tag)
+    return out.filter(F.col(tag_col).isNotNull()) if default is None else out
+
+
 def route_and_write(
     df: DataFrame,
     sinks: list[SinkSpec],

@@ -52,7 +52,10 @@ def get_spark(
         # we use try_* functions explicitly, but keep ANSI off so plain
         # casts in user filter expressions behave like Spark 3.
         .config("spark.sql.ansi.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("LMS_DRIVER_MEM", "48g"))
+        # NB not bigger: one local JVM hosts driver+executors, and very
+        # large heaps (48g+) showed erratic multi-tens-of-seconds GC
+        # stalls with Arrow-heavy stages; 16g is stable (measured)
+        .config("spark.driver.memory", os.environ.get("LMS_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

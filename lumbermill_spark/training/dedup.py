@@ -74,6 +74,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.0,
     block_col: str | None = None,
+    hashed: bool = True,
 ) -> DataFrame:
     """Exact Jaccard over word n-gram sets for candidate pairs.
 
@@ -81,12 +82,19 @@ def ngram_jaccard_pairs(
     source, LSH bucket, …); None = full cross pairing (test scale only:
     the join is O(n²) without blocking, which is exactly what the
     MinHash path avoids).
+    ``hashed=True`` replaces each shingle string with its xxhash64
+    before the join: the pair rows then carry arrays of longs instead
+    of arrays of long strings — ~10x less shuffle + cheaper
+    intersect/union, with identical Jaccard (modulo 64-bit collisions).
     Output: (id_a, id_b, jaccard) with id_a < id_b.
     """
+    grams = word_shingles(F.col(text_col), n)
+    if hashed:
+        grams = F.array_distinct(F.transform(grams, lambda s: F.xxhash64(s)))
     sh = df.select(
         F.col(id_col).alias("_id"),
         *( [F.col(block_col).alias("_blk")] if block_col else [] ),
-        word_shingles(F.col(text_col), n).alias("_sh"),
+        grams.alias("_sh"),
     )
     a = sh.select(
         F.col("_id").alias("id_a"),
