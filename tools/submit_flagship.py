@@ -1,0 +1,76 @@
+"""spark-submit entry point for the flagship pipeline.
+
+Usage (the north_rule ship-shape — same on a real cluster, where
+--master/--deploy-mode come from the cluster config):
+
+    cd /root/repo && zip -r /tmp/lms.zip lumbermill_spark -x '*__pycache__*'
+    spark-submit --master 'local[32]' --py-files /tmp/lms.zip \
+        tools/submit_flagship.py --rows 2000000 --runs 3
+
+Reads nothing from the repo at runtime: the package comes from
+--py-files, the token table is synthesized (or pass --input for an
+existing parquet/Iceberg path). Prints one JSON line per run plus a
+summary (best run throughput).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=2_000_000)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--input", default=None,
+                    help="existing token table path (else synthesized)")
+    ap.add_argument("--prepare-only", action="store_true")
+    args = ap.parse_args()
+
+    # imports resolved from --py-files
+    from lumbermill_spark.data.synth import synth_tokens
+    from lumbermill_spark.operators.regex_parser import RegexParser
+    from lumbermill_spark.pipelines_builtin import ACCESS_RULES
+
+    spark = SparkSession.builder.appName("lms-flagship").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    cores = spark.sparkContext.defaultParallelism
+
+    path = args.input or f"/tmp/lms_submit/tokens_{args.rows}"
+    try:
+        spark.read.parquet(path).limit(1).collect()
+    except Exception:  # noqa: BLE001 - not materialized yet
+        synth_tokens(spark, args.rows).write.mode("overwrite").parquet(path)
+    if args.prepare_only:
+        print(json.dumps({"prepared": path}))
+        return
+
+    results = []
+    for i in range(args.runs):
+        t0 = time.time()
+        df = spark.read.parquet(path)
+        parsed = RegexParser(ACCESS_RULES, engine="expr").apply(
+            df, tokens_col="tokens", drop_tokens=True)
+        rows = parsed.groupBy("event_type", "http_status").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_tok").cast("long").alias("sum_tok"),
+        ).collect()
+        secs = time.time() - t0
+        n_seq = sum(r["n_rows"] for r in rows)
+        n_tok = sum(r["sum_tok"] for r in rows)
+        rec = {"run": i, "cores": cores, "secs": round(secs, 3),
+               "seq_per_sec": round(n_seq / secs, 1),
+               "tok_per_sec": round(n_tok / secs, 1)}
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+    best = min(results, key=lambda r: r["secs"])
+    print(json.dumps({"summary": True, **best}))
+
+
+if __name__ == "__main__":
+    main()
