@@ -36,7 +36,8 @@ from pyspark.sql import functions as F
 from lumbermill_spark.data.synth import synth_tokens
 from lumbermill_spark.functions.dynamic import dynamic_value_col, has_dynamic_refs
 from lumbermill_spark.functions.filters import filter_to_column
-from lumbermill_spark.operators import field_actions, parsers
+from lumbermill_spark.functions.skew import salted_repartition
+from lumbermill_spark.operators import field_actions, lookup, parsers, stateful, stats
 from lumbermill_spark.operators.regex_parser import RegexParser
 from lumbermill_spark.router import SinkSpec, route_and_write
 
@@ -86,6 +87,16 @@ def _wrap(fn):
     return lambda df, cfg: fn(df, **cfg)
 
 
+def _m_throttle(df: DataFrame, cfg: dict) -> DataFrame:
+    """misc.Throttle: ``timeframe`` as a date_trunc unit over ``ts_field``
+    (the YAML-safe stand-in for an arbitrary frame Column)."""
+    cfg = dict(cfg)
+    unit = cfg.pop("timeframe", None)
+    ts_field = cfg.pop("ts_field", "ts")
+    frame = F.date_trunc(unit, F.col(ts_field)) if unit else None
+    return stats.throttle(df, cfg.pop("key"), timeframe_col=frame, **cfg)
+
+
 TRANSFORMS = {
     "parser.Regex": _m_regex,
     "parser.Csv": _wrap(parsers.parse_csv),
@@ -104,6 +115,15 @@ TRANSFORMS = {
     "modifier.Field": _m_field,
     "modifier.AddDateTime": _wrap(parsers.add_datetime),
     "modifier.DropEvent": _m_drop,
+    "modifier.Math": _wrap(stats.math_op),
+    "modifier.MergeEvent": _wrap(stateful.merge_event),
+    "modifier.Permutate": _wrap(stateful.permutate),
+    "modifier.Lookup": _wrap(lookup.enrich_from_dict),
+    "misc.Facet": _wrap(stats.facet),
+    "misc.Metrics": _wrap(stats.metrics),
+    "misc.SimpleStats": _wrap(stats.simple_stats),
+    "misc.Throttle": _m_throttle,
+    "misc.SaltedRepartition": _wrap(salted_repartition),
     "misc.Noop": lambda df, cfg: df,
 }
 

@@ -153,3 +153,33 @@ def test_pipeline_common_actions(spark):
     out = compile_pipeline(spark, spec).dataframe(df).first()
     assert out["greeting"] == "hello x"
     assert out["event_type"] == "tagged"
+
+
+def test_pipeline_extended_modules(spark):
+    """New registry entries: Math, Throttle, SimpleStats, Salted
+    repartition compile and run from a YAML-shaped spec."""
+    from lumbermill_spark.pipeline import compile_pipeline
+
+    spec = [
+        {"input.Synthetic": {"rows": 2000}},
+        {"misc.SaltedRepartition": {"key": "source", "buckets": 4,
+                                    "num_partitions": 8}},
+        {"modifier.Math": {"target_field": "tok2", "function": "n_tok * 2"}},
+        {"misc.SimpleStats": {"group_field": "source"}},
+    ]
+    pipe = compile_pipeline(spark, spec)
+    out = pipe.dataframe()
+    got = {r["source"]: r["events_received"] for r in out.collect()}
+    assert sum(got.values()) == 2000
+    assert set(got) == {"apache", "nginx", "syslog", "unknown"}
+
+
+def test_pipeline_throttle_module(spark):
+    from lumbermill_spark.pipeline import compile_pipeline
+
+    spec = [
+        {"misc.Throttle": {"key": "k", "min_count": 2}},
+    ]
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    out = compile_pipeline(spark, spec).dataframe(df)
+    assert [r["k"] for r in out.collect()] == ["a", "a"]
