@@ -448,6 +448,78 @@ def _q31_tokens_roundtrip(spark, sf):
     )
 
 
+# grok rule for the flagship line, RE2-safe (no lookaheads) so the same
+# expanded pattern runs in DuckDB; exercises %{NAME:field} + bare %{NAME}
+_GROK_LINE = (
+    r'%{IPV4:clientip} %{USER:ident} %{USER:auth} '
+    r'\[%{MONTHDAY}/%{MONTH}/%{YEAR}:[^\]]*\] '
+    r'"%{WORD:verb} %{NOTSPACE:request} HTTP/%{NUMBER:httpversion}" '
+    r'%{NONNEGINT:response} %{NONNEGINT:bytes}'
+)
+
+
+def _q32_grok_parse(spark, sf):
+    tok = _events_token_table(spark, sf)
+    parser = RegexParser([{"apache": _GROK_LINE}], engine="expr")
+    parsed = parser.apply(tok, tokens_col="tokens", drop_tokens=True)
+    return parsed.groupBy("event_type", "response").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("clientip").alias("n_ips"),
+    )
+
+
+def _oracle_grok() -> str:
+    rule = RegexParser([{"apache": _GROK_LINE}], engine="expr").rules[0]
+    pat = rule.java_pattern.replace("'", "''")
+    gi = rule.group_index
+    return f"""
+    WITH tok AS (
+      SELECT CASE WHEN event_type = 'error' AND value >= 180.0
+               THEN '?? corrupt frame ??'
+               ELSE printf('%s - %s [01/Jan/2024:00:00:00 +0000] "GET /api/v1/items HTTP/1.0" %s %d',
+                           printf('10.0.%d.%d', user_id % 200, (event_id % 250) + 1),
+                           'u' || CAST(user_id AS VARCHAR),
+                           CASE event_type WHEN 'error' THEN '500' WHEN 'purchase' THEN '402'
+                                WHEN 'signup' THEN '201' WHEN 'click' THEN '204'
+                                WHEN 'view' THEN '200' ELSE '418' END,
+                           CAST(floor(value) AS BIGINT))
+          END AS line
+      FROM events
+    ), p AS (
+      SELECT
+        CASE WHEN regexp_matches(line, '{pat}') THEN 'apache'
+             ELSE 'Unknown' END AS event_type,
+        CASE WHEN regexp_matches(line, '{pat}')
+             THEN regexp_extract(line, '{pat}', {gi['response']}) END AS response,
+        CASE WHEN regexp_matches(line, '{pat}')
+             THEN regexp_extract(line, '{pat}', {gi['clientip']}) END AS clientip
+      FROM tok)
+    SELECT event_type, response, count(*) AS n_rows,
+           count(DISTINCT clientip) AS n_ips
+    FROM p GROUP BY 1, 2
+    """
+
+
+def _q33_geo_enrich(spark, sf):
+    from lumbermill_spark.operators.enrichers import geo_enrich
+
+    ev = _t(spark, sf, "events").withColumn(
+        "remote_ip",
+        F.format_string("10.%d.%d.%d", F.pmod(F.col("user_id"), F.lit(25)),
+                        F.pmod(F.col("event_id"), F.lit(200)), F.lit(7)),
+    ).withColumn("xff", F.lit(None).cast("string"))
+    nat = _t(spark, sf, "nation")
+    geo = nat.select(
+        F.concat(F.lit("10."), F.col("n_nationkey").cast("string"))
+        .alias("ip_prefix"),
+        F.col("n_name").alias("country"),
+    )
+    out = geo_enrich(ev, geo, ["xff", "remote_ip"], prefix_len=2)
+    return out.groupBy(
+        F.coalesce(F.col("geo_info.country"), F.lit("unknown")).alias("country")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_simple_stats": _q01_simple_stats,
@@ -481,6 +553,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_routed_sinks": _q29_routed_sinks,
         "q30_tokens_pipeline": _q30_tokens_pipeline,
         "q31_tokens_roundtrip": _q31_tokens_roundtrip,
+        "q32_grok_parse": _q32_grok_parse,
+        "q33_geo_enrich": _q33_geo_enrich,
     }
 
 
@@ -790,6 +864,14 @@ def oracle_sql() -> dict[str, str]:
             FROM t GROUP BY 1
         """,
         "q30_tokens_pipeline": _ORACLE_FLAGSHIP,
+        "q32_grok_parse": _oracle_grok(),
+        "q33_geo_enrich": """
+            SELECT coalesce(n.n_name, 'unknown') AS country,
+                   count(*) AS n_rows
+            FROM events e
+            LEFT JOIN nation n ON n.n_nationkey = e.user_id % 25
+            GROUP BY 1
+        """,
         "q31_tokens_roundtrip": """
             WITH tok AS (
               SELECT event_id,

@@ -1,0 +1,207 @@
+"""Value-level enrichment operators: domain split, user-agent parse,
+geo lookup, DNS resolve.
+
+Reference modules (all per-value library/network lookups behind LRU
+memo caches):
+- parser.DomainName (/root/reference/lumbermill/parser/DomainName.py:49-62):
+  fqdn → {tld, domain, subdomain} via the `tld` lib, LRU-cached.
+- parser.UserAgent (/root/reference/lumbermill/parser/UserAgent.py:56-72):
+  UA string → os/browser/device via `ua_parser`, LRU-cached.
+- modifier.AddGeoInfo (/root/reference/lumbermill/modifier/AddGeoInfo.py:128-205):
+  maxmind city+ASN lookup on the first valid ip among source_fields.
+- modifier.AddDnsLookup (/root/reference/lumbermill/modifier/AddDnsLookup.py:79-127):
+  threadpool resolver, LRU(5000).
+
+Spark shape (SURVEY.md §4): LRU cache → dedupe-distinct → compute once
+per distinct value → broadcast join back (operators/lookup.py), or a
+straight broadcast join against a lookup *table* (geo). Parsing
+heuristics below are hand-written from public format knowledge; the
+heavyweight libs aren't in this runtime and are gated behind
+import-try — when present they take over inside the same dedupe+join
+plan, so the physical shape never changes.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lumbermill_spark.operators.lookup import enrich_computed
+
+# Small built-in set of multi-label public suffixes (public knowledge);
+# a full public-suffix list drops in as a broadcast table with the same
+# join plan.
+MULTI_SUFFIXES = [
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp", "com.br", "com.cn", "com.mx", "co.in",
+    "co.nz", "co.za",
+]
+
+
+def split_domain(
+    df: DataFrame,
+    source_field: str,
+    prefix: str = "",
+) -> DataFrame:
+    """fqdn → {tld, domain, subdomain} columns — pure JVM expressions
+    (split + slice), no UDF. Unknown fields are '' like the reference's
+    failed-lookup path (DomainName.py:57-62 leaves fields unset)."""
+    host = F.lower(F.trim(F.col(source_field)))
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.slice(labels, F.greatest(n - 1, F.lit(1)), 2))
+    is_multi = last2.isin(*MULTI_SUFFIXES)
+    tld_len = F.when(is_multi, 2).otherwise(1)
+    tld = F.when(n >= 2, F.concat_ws(
+        ".", F.slice(labels, n - tld_len + 1, tld_len))).otherwise(F.lit(""))
+    domain_idx = n - tld_len
+    domain = F.when(domain_idx >= 1, F.element_at(labels, domain_idx)) \
+        .otherwise(F.lit(""))
+    sub = F.when(domain_idx > 1, F.concat_ws(
+        ".", F.slice(labels, 1, domain_idx - 1))).otherwise(F.lit(""))
+    return (
+        df.withColumn(f"{prefix}tld", tld)
+        .withColumn(f"{prefix}domain", domain)
+        .withColumn(f"{prefix}subdomain", sub)
+    )
+
+
+# --------------------------------------------------------------------- #
+# user agent
+
+_UA_RULES = [
+    # (browser, browser-regex) — ordered, first match wins
+    ("curl", r"^curl/"),
+    ("wget", r"^Wget/"),
+    ("Edge", r"Edg(e|A|iOS)?/"),
+    ("Opera", r"(Opera|OPR)/"),
+    ("Chrome", r"Chrome/"),
+    ("Firefox", r"Firefox/"),
+    ("Safari", r"Safari/"),
+    ("bot", r"(?i)(bot|crawler|spider)"),
+]
+
+_OS_RULES = [
+    ("Windows", r"Windows NT"),
+    ("Android", r"Android"),
+    ("iOS", r"(iPhone|iPad) OS|like Mac OS X"),
+    ("macOS", r"Macintosh|Mac OS X"),
+    ("Linux", r"Linux|X11"),
+]
+
+
+def parse_user_agent(
+    df: DataFrame,
+    source_field: str,
+    target_field: str = "user_agent_info",
+) -> DataFrame:
+    """UA string → struct{browser, os, is_bot} via dedupe-distinct →
+    parse once per distinct UA → broadcast join back (the exact LRU
+    replacement; UA cardinality ≪ row count).
+
+    If the real `ua_parser` package is importable it is used for the
+    per-distinct parse; otherwise the ordered regex heuristics above.
+    """
+    try:  # pragma: no cover - not in this runtime
+        from ua_parser import user_agent_parser  # noqa: F401
+        use_lib = True
+    except ImportError:
+        use_lib = False
+
+    def compute(distinct_df: DataFrame) -> DataFrame:
+        if use_lib:  # pragma: no cover
+            import pandas as pd
+
+            @F.pandas_udf("browser string, os string, is_bot boolean")
+            def _parse(s: pd.Series) -> pd.DataFrame:
+                from ua_parser import user_agent_parser as uap
+                rows = []
+                for ua in s:
+                    r = uap.Parse(ua or "")
+                    fam = r["user_agent"]["family"]
+                    rows.append((fam, r["os"]["family"],
+                                 "bot" in (fam or "").lower()))
+                return pd.DataFrame(rows, columns=["browser", "os", "is_bot"])
+
+            return distinct_df.withColumn(target_field, _parse(F.col(source_field)))
+        ua = F.col(source_field)
+        browser: Column = F.lit("Other")
+        for name, pat in reversed(_UA_RULES):
+            browser = F.when(ua.rlike(pat), F.lit(name)).otherwise(browser)
+        osname: Column = F.lit("Other")
+        for name, pat in reversed(_OS_RULES):
+            osname = F.when(ua.rlike(pat), F.lit(name)).otherwise(osname)
+        return distinct_df.withColumn(
+            target_field,
+            F.struct(browser.alias("browser"), osname.alias("os"),
+                     ua.rlike(r"(?i)(bot|crawler|spider)").alias("is_bot")),
+        )
+
+    return enrich_computed(df, source_field, compute)
+
+
+# --------------------------------------------------------------------- #
+# geo
+
+def geo_enrich(
+    df: DataFrame,
+    geo_table: DataFrame,
+    source_fields: list[str],
+    prefix_len: int = 3,
+    target_field: str = "geo_info",
+) -> DataFrame:
+    """AddGeoInfo as a broadcast join keyed on the ip /24-style prefix.
+
+    geo_table: (ip_prefix, <attr columns...>) — the maxmind-db analog
+    flattened to a prefix table (how mmdb lookups shard at scale).
+    Like the reference, the FIRST non-null ip among source_fields wins
+    (AddGeoInfo.py:141-152). Unmatched ips keep NULL attrs.
+    """
+    first_ip = F.coalesce(*[F.col(c) for c in source_fields])
+    pfx = F.concat_ws(
+        ".", F.slice(F.split(first_ip, r"\."), 1, prefix_len))
+    out = df.withColumn("_geo_pfx", pfx)
+    attrs = [c for c in geo_table.columns if c != "ip_prefix"]
+    lk = F.broadcast(geo_table.withColumnRenamed("ip_prefix", "_geo_pfx"))
+    out = out.join(lk, on="_geo_pfx", how="left")
+    out = out.withColumn(target_field,
+                         F.struct(*[F.col(c) for c in attrs])).drop(*attrs)
+    return out.drop("_geo_pfx")
+
+
+# --------------------------------------------------------------------- #
+# dns
+
+def dns_lookup(
+    df: DataFrame,
+    source_field: str,
+    target_field: str = "dns_name",
+    action: str = "resolve",
+    resolver=None,
+) -> DataFrame:
+    """AddDnsLookup: dedupe-distinct → resolve once per distinct value →
+    broadcast join back. Network resolution is side-effecting and
+    unavailable here, so ``resolver`` must be injected: a callable
+    (value) -> str, applied inside an Arrow-batched pandas UDF over
+    DISTINCT values only. resolver=None raises at plan build (fail
+    fast), matching this repo's no-network stance; tests inject a
+    deterministic fake.
+    """
+    if action not in ("resolve", "reverse"):
+        raise ValueError("action must be resolve|reverse")
+    if resolver is None:
+        raise NotImplementedError(
+            "no DNS in this runtime: inject resolver=callable "
+            "(e.g. socket.gethostbyname for 'resolve')"
+        )
+
+    @F.pandas_udf("string")
+    def _resolve(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: None if v is None else resolver(v))
+
+    def compute(distinct_df: DataFrame) -> DataFrame:
+        return distinct_df.withColumn(target_field,
+                                      _resolve(F.col(source_field)))
+
+    return enrich_computed(df, source_field, compute)

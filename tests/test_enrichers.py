@@ -1,0 +1,85 @@
+"""DomainName/UserAgent/Geo/DNS enrichers + NetFlow decode."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lumbermill_spark.operators import enrichers, netflow
+
+
+def test_split_domain(spark):
+    df = spark.createDataFrame(
+        [("www.example.com",), ("example.co.uk",), ("a.b.example.co.jp",),
+         ("localhost",)],
+        "host string",
+    )
+    out = {r["host"]: (r["subdomain"], r["domain"], r["tld"])
+           for r in enrichers.split_domain(df, "host").collect()}
+    assert out["www.example.com"] == ("www", "example", "com")
+    assert out["example.co.uk"] == ("", "example", "co.uk")
+    assert out["a.b.example.co.jp"] == ("a.b", "example", "co.jp")
+    assert out["localhost"] == ("", "", "")
+
+
+def test_parse_user_agent(spark):
+    uas = [
+        ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+         "(KHTML, like Gecko) Chrome/120.0 Safari/537.36",),
+        ("curl/8.0.1",),
+        ("Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/115.0",),
+        ("Googlebot/2.1 (+http://www.google.com/bot.html)",),
+    ]
+    df = spark.createDataFrame(uas * 10, "ua string")  # dupes: dedupe path
+    out = enrichers.parse_user_agent(df, "ua")
+    assert out.count() == 40
+    by_browser = {r["user_agent_info"]["browser"]
+                  for r in out.dropDuplicates(["ua"]).collect()}
+    assert {"Chrome", "curl", "Firefox", "bot"} <= by_browser
+    bot = [r for r in out.dropDuplicates(["ua"]).collect()
+           if r["user_agent_info"]["is_bot"]]
+    assert len(bot) == 1
+
+
+def test_geo_enrich_first_ip_wins(spark):
+    ev = spark.createDataFrame(
+        [(None, "10.0.1.5", 1), ("10.0.2.9", "10.0.1.5", 2), (None, None, 3)],
+        "xff string, remote_ip string, n int",
+    )
+    geo = spark.createDataFrame(
+        [("10.0.1", "DE", "Berlin"), ("10.0.2", "US", "NYC")],
+        "ip_prefix string, country string, city string",
+    )
+    out = {r["n"]: r["geo_info"] for r in enrichers.geo_enrich(
+        ev, geo, ["xff", "remote_ip"]).collect()}
+    assert out[1]["country"] == "DE"
+    assert out[2]["country"] == "US"      # xff takes precedence
+    assert out[3]["country"] is None
+
+
+def test_dns_lookup_injected_resolver(spark):
+    df = spark.createDataFrame([("a.example",), ("b.example",), ("a.example",)],
+                               "host string")
+    out = enrichers.dns_lookup(
+        df, "host", resolver=lambda h: f"ip-of-{h}")
+    got = [r["dns_name"] for r in out.collect()]
+    assert sorted(got) == ["ip-of-a.example", "ip-of-a.example", "ip-of-b.example"]
+    with pytest.raises(NotImplementedError):
+        enrichers.dns_lookup(df, "host")
+
+
+def test_netflow_roundtrip(spark):
+    flows = [
+        (0x0A000001, 0x0A000002, 1234, 80, 10, 5000, 6, 0b10010),  # tcp SYN+ACK
+        (0x0A000003, 0x0A000004, 53, 5353, 2, 300, 17, 0),          # udp
+    ]
+    payload = netflow.encode_v5(flows)
+    df = spark.createDataFrame(
+        [("d1", bytearray(payload)), ("d2", bytearray(b"\x00\x09short"))],
+        "doc_id string, payload binary",
+    )
+    out = netflow.parse_netflow(df)
+    rows = sorted(out.collect(), key=lambda r: r["flow_index"])
+    assert len(rows) == 2  # d2 is version!=5 -> dropped
+    assert rows[0]["srcaddr"] == "10.0.0.1" and rows[0]["dstport"] == 80
+    assert rows[0]["protocol"] == "tcp"
+    assert set(rows[0]["tcp_flags"]) == {"SYN", "ACK"}
+    assert rows[1]["protocol"] == "udp" and rows[1]["octets"] == 300
