@@ -195,6 +195,40 @@ class RegexParser:
         return not any(self._JAVA_UNSAFE.search(r.py_pattern) for r in self.rules)
 
     # ------------------------------------------------------------------ #
+    def optimize_rule_order(self, df: DataFrame,
+                            source: Column | None = None,
+                            tokens_col: str | None = None,
+                            sample_rows: int = 10_000) -> "RegexParser":
+        """Expr-engine analog of ``hot_rules_first`` (Regex.py:98-111):
+        the reference re-sorts rules by observed hit count every 10 s at
+        runtime; a WHEN chain is fixed at plan build, so instead we
+        measure per-rule selectivity on a sample ONCE and reorder the
+        chain before building it. With break_on_match, putting the
+        hottest rule first means most rows evaluate exactly one regex.
+        Order among rules is changed only when semantics allow (it
+        always does for first-match-wins IF rules are disjoint — which
+        is the reference's own implicit assumption when hot-sorting).
+        Returns self (mutated) for chaining.
+        """
+        if not self.break_on_match or len(self.rules) < 2:
+            return self
+        if source is None:
+            src_df = decode_tokens_arrow(
+                df, tokens_col or self.source_field, out_col="_lms_line"
+            ) if tokens_col else df
+            src = F.col("_lms_line") if tokens_col else F.col(self.source_field)
+        else:
+            src_df, src = df, source
+        sample = src_df.limit(sample_rows)
+        counts = sample.agg(*[
+            F.sum(src.rlike(r.java_pattern).cast("int")).alias(f"h{i}")
+            for i, r in enumerate(self.rules)
+        ]).first()
+        hits = [(counts[f"h{i}"] or 0, i) for i in range(len(self.rules))]
+        order = [i for _h, i in sorted(hits, key=lambda t: (-t[0], t[1]))]
+        self.rules = [self.rules[i] for i in order]
+        return self
+
     def apply(self, df: DataFrame, source: Column | None = None,
               tokens_col: str | None = None,
               drop_tokens: bool = False) -> DataFrame:

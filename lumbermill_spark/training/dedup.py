@@ -75,6 +75,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.0,
     block_col: str | None = None,
     hashed: bool = True,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over word n-gram sets for candidate pairs.
 
@@ -82,31 +83,69 @@ def ngram_jaccard_pairs(
     source, LSH bucket, …); None = full cross pairing (test scale only:
     the join is O(n²) without blocking, which is exactly what the
     MinHash path avoids).
-    ``hashed=True`` replaces each shingle string with its xxhash64
-    before the join: the pair rows then carry arrays of longs instead
-    of arrays of long strings — ~10x less shuffle + cheaper
-    intersect/union, with identical Jaccard (modulo 64-bit collisions).
+    ``hashed=True`` (default) uses the scalable explode-and-count plan:
+    each shingle becomes one (id, block, shingle-hash) row; an
+    equi-join on (block, hash) + groupBy(id_a, id_b) counts
+    intersections, and |A∪B| = |A|+|B|−|A∩B|. Shuffle volume is
+    O(docs × shingles) slim rows — document shingle SETS never ride
+    through the join, and pairs sharing nothing are never materialized.
+    ``hashed=False`` keeps the literal array-intersect form (string
+    shingles end-to-end) for cross-checking.
     Output: (id_a, id_b, jaccard) with id_a < id_b.
     """
     grams = word_shingles(F.col(text_col), n)
+    blk = [F.col(block_col).alias("_blk")] if block_col else []
+    blk_names = ["_blk"] if block_col else []
     if hashed:
-        grams = F.array_distinct(F.transform(grams, lambda s: F.xxhash64(s)))
+        ex = df.select(
+            F.col(id_col).alias("_id"), *blk,
+            F.explode(F.transform(grams, lambda s: F.xxhash64(s))).alias("_h"),
+        )
+        if max_df:
+            # Zipfian guard: a shingle shared by k documents yields k²
+            # join rows — at corpus scale, boilerplate shingles explode
+            # the candidate space. Dropping shingles with document
+            # frequency > max_df bounds it; Jaccard is then computed
+            # over the pruned shingle space (sizes below follow suit).
+            freq = ex.groupBy(*blk_names, "_h").agg(
+                F.count(F.lit(1)).alias("_df"))
+            ex = ex.join(freq.filter(F.col("_df") <= max_df)
+                         .select(*blk_names, "_h"),
+                         on=[*blk_names, "_h"])
+            sizes = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+        else:
+            sizes = df.select(F.col(id_col).alias("_id"),
+                              F.size(grams).alias("_n"))
+        a = ex.select(F.col("_id").alias("id_a"), *[F.col(c) for c in blk_names],
+                      "_h")
+        b = ex.select(F.col("_id").alias("id_b"), *[F.col(c) for c in blk_names],
+                      "_h")
+        inter = (
+            a.join(b, on=[*blk_names, "_h"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("_inter"))
+        )
+        sa = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
+        sb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+        joined = inter.join(sa, "id_a").join(sb, "id_b")
+        union = (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double")
+        jac = F.when(union > 0, F.col("_inter").cast("double") / union) \
+            .otherwise(F.lit(0.0))
+        out = joined.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        # NB pairs with zero shared shingles are (correctly) absent —
+        # with a threshold > 0 that is exactly the wanted semantics
+        if threshold > 0:
+            out = out.filter(F.col("jaccard") >= threshold)
+        return out
     sh = df.select(
-        F.col(id_col).alias("_id"),
-        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
-        grams.alias("_sh"),
+        F.col(id_col).alias("_id"), *blk, grams.alias("_sh"),
     )
-    a = sh.select(
-        F.col("_id").alias("id_a"),
-        *( [F.col("_blk")] if block_col else [] ),
-        F.col("_sh").alias("_sh_a"),
-    )
-    b = sh.select(
-        F.col("_id").alias("id_b"),
-        *( [F.col("_blk")] if block_col else [] ),
-        F.col("_sh").alias("_sh_b"),
-    )
-    joined = (a.join(b, on=["_blk"]) if block_col else a.crossJoin(b)).filter(
+    a = sh.select(F.col("_id").alias("id_a"),
+                  *[F.col(c) for c in blk_names], F.col("_sh").alias("_sh_a"))
+    b = sh.select(F.col("_id").alias("id_b"),
+                  *[F.col(c) for c in blk_names], F.col("_sh").alias("_sh_b"))
+    joined = (a.join(b, on=blk_names) if block_col else a.crossJoin(b)).filter(
         F.col("id_a") < F.col("id_b")
     )
     inter = F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")

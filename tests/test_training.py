@@ -44,9 +44,21 @@ def test_ngram_jaccard_pairs(docs):
 
 
 def test_ngram_jaccard_blocked(docs):
-    out = dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.0, block_col="source")
+    # literal (array) engine keeps zero-overlap in-block pairs at
+    # threshold 0 — blocking semantics visible
+    out = dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.0,
+                                    block_col="source", hashed=False)
     pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert (4, 5) in pairs and (1, 4) not in pairs
+
+
+def test_ngram_jaccard_engines_agree(docs):
+    kw = dict(n=2, threshold=0.2, block_col="source")
+    fast = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(docs, hashed=True, **kw).collect()}
+    literal = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in dedup.ngram_jaccard_pairs(docs, hashed=False, **kw).collect()}
+    assert fast == literal
 
 
 def test_minhash_signature_properties(docs):
@@ -170,3 +182,19 @@ def test_multimodal_decode_and_frames(spark):
     assert len(fr) >= 5
     resized = multimodal.resize_stub(media.limit(3), 224, 224, codec="fake").collect()
     assert all(r["width"] == 224 for r in resized)
+
+
+def test_ngram_jaccard_max_df(spark, docs):
+    # with a df cap of 1, every shared shingle is pruned -> no pairs
+    out = dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.1,
+                                    block_col="source", max_df=1)
+    assert out.count() == 0
+    # a generous cap changes nothing: same pairs as the uncapped run
+    out2 = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(
+                docs, n=2, threshold=0.3, block_col="source",
+                max_df=100).collect()}
+    uncapped = {(r["id_a"], r["id_b"]): r["jaccard"]
+                for r in dedup.ngram_jaccard_pairs(
+                    docs, n=2, threshold=0.3, block_col="source").collect()}
+    assert out2 == uncapped and (1, 2) in out2
