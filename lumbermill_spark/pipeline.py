@@ -222,6 +222,7 @@ def compile_pipeline(spark: SparkSession, spec: list | dict | str) -> CompiledPi
                 columns=cfg.get("columns"),
                 mode=cfg.get("mode", "overwrite"),
                 compression=cfg.get("compression"),
+                line_format=cfg.get("line_format") or cfg.get("format_line"),
             ))
         elif name in TRANSFORMS:
             stages.append((name, cfg))

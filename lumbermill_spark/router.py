@@ -48,6 +48,11 @@ class SinkSpec:
     columns: list[str] | None = None     # projection before write
     mode: str = "overwrite"
     compression: str | None = None       # e.g. 'snappy'|'gzip' (output.File)
+    # output.File 'format' option (File.py:113-142): a $(field) template
+    # rendering each event to one text line; implies a single-column
+    # text write. '%Y...' strftime parts expand at plan build like the
+    # reference's dynamic sink paths (DynamicValues.py:155-166).
+    line_format: str | None = None
 
     def predicate(self) -> Column | None:
         if self.filter is None:
@@ -123,6 +128,15 @@ def route_and_write(
         if spec.columns:
             keep = [c for c in spec.columns if c in branch.columns]
             branch = branch.select(*keep)
+        if spec.line_format:
+            from lumbermill_spark.functions.dynamic import dynamic_value_col
+
+            keep_parts = spec.partition_by or []
+            branch = branch.select(
+                dynamic_value_col(spec.line_format, branch.columns)
+                .alias("value"),
+                *[F.col(c) for c in keep_parts],
+            )
 
         has_tok = token_col and token_col in branch.columns
         obs = Observation(f"{run_id}-{spec.name}")

@@ -183,3 +183,22 @@ def test_pipeline_throttle_module(spark):
     df = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
     out = compile_pipeline(spark, spec).dataframe(df)
     assert [r["k"] for r in out.collect()] == ["a", "a"]
+
+
+def test_file_sink_line_format(spark, tmp_path):
+    from lumbermill_spark.router import SinkSpec, route_and_write
+
+    df = spark.createDataFrame(
+        [("e1", "click", 3), ("e2", "error", 5)],
+        "doc_id string, event_type string, n_tok int",
+    )
+    base = str(tmp_path / "out")
+    res = route_and_write(
+        df,
+        [SinkSpec("lines", format="text",
+                  line_format="$(doc_id)|$(event_type)|$(n_tok)")],
+        base, run_id="r1",
+    )
+    assert res["lines"]["rows"] == 2
+    got = sorted(r["value"] for r in spark.read.text(f"{base}/lines").collect())
+    assert got == ["e1|click|3", "e2|error|5"]
