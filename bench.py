@@ -90,6 +90,36 @@ def flagship_once(spark) -> dict:
             "n_sinks": len(set(r["sink"] for r in rows))}
 
 
+def write_pipeline_once(spark) -> dict:
+    """Full write path: parse → enrich → 3-way routed parquet sinks with
+    per-sink observe metrics + checkpoint commit rows (router.py). The
+    persisted-parent fan-out variant — complements the aggregate-only
+    flagship number."""
+    import shutil
+
+    base = "/tmp/lms_bench/sinks"
+    shutil.rmtree(base, ignore_errors=True)
+    t0 = time.time()
+    df = spark.read.parquet(TOKEN_PATH)
+    parsed = RegexParser(ACCESS_RULES, engine="expr").apply(
+        df, tokens_col="tokens")
+    enriched = field_actions.map_(
+        parsed, "http_status", HTTP_STATUS_MAP, target_field="status_class")
+    sinks = [
+        SinkSpec("web", F.col("event_type").isin(
+            "httpd_access_log", "nginx_access_log")),
+        SinkSpec("firewall", F.col("event_type") == "iptables_log"),
+        SinkSpec("unmatched", F.col("event_type") == "Unknown"),
+    ]
+    from lumbermill_spark.router import route_and_write_tagged
+
+    res = route_and_write_tagged(enriched, sinks, base, run_id="bench")
+    secs = time.time() - t0
+    n_seq = sum(v.get("rows", 0) for k, v in res.items() if k != "_secs")
+    n_tok = sum((v.get("tokens") or 0) for k, v in res.items() if k != "_secs")
+    return {"secs": secs, "n_seq": n_seq, "n_tok": n_tok}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_rows = int(os.environ.get("LMS_BENCH_ROWS", "2000000"))
@@ -99,6 +129,8 @@ def main() -> None:
     flagship_once(spark)            # warm-up (JIT, codegen, file listing)
     flagship_once(spark)            # second warm-up: C2 JIT of codegen'd regex
     r = flagship_once(spark)
+    w = (None if os.environ.get("LMS_BENCH_SKIP_WRITE")
+         else write_pipeline_once(spark))
 
     query_secs: dict[str, float] = {}
     if not os.environ.get("LMS_BENCH_SKIP_QUERIES"):
@@ -118,6 +150,9 @@ def main() -> None:
         "seq_per_sec": round(r["n_seq"] / r["secs"], 1),
         "tok_per_sec": round(r["n_tok"] / r["secs"], 1),
     }
+    if w is not None:
+        out["write_pipeline_secs"] = round(w["secs"], 3)
+        out["write_seq_per_sec"] = round(w["n_seq"] / w["secs"], 1)
     print(json.dumps(out))
 
 

@@ -174,6 +174,52 @@ def route_and_write(
     return results
 
 
+def route_and_write_tagged(
+    df: DataFrame,
+    sinks: list[SinkSpec],
+    base: str,
+    run_id: str | None = None,
+    stage: str = "route",
+    token_col: str | None = "n_tok",
+) -> dict:
+    """Single-pass routed write for DISJOINT sinks: tag rows with their
+    sink (first-match) and write ONCE with partitionBy(sink) — the data
+    is scanned and written exactly once regardless of sink count,
+    versus one filtered pass per sink in route_and_write (which remains
+    the general form for overlapping predicates / per-sink formats).
+
+    Per-sink counts/tokens come from a follow-up aggregate over the
+    written table — a column-pruned scan of one small int column, not a
+    recompute of the pipeline. Checkpoint commit rows are written per
+    sink, so resume/stats interop matches route_and_write.
+    Returns {sink: {rows, tokens, path}, "_secs": ...}.
+    """
+    spark = df.sparkSession
+    if run_id is None:
+        run_id = uuid.uuid4().hex[:12]
+    path = f"{base.rstrip('/')}/routed"
+    t0 = time.time()
+    tagged = route_tag(df, sinks)
+    tagged.write.mode("overwrite").partitionBy("sink").parquet(path)
+    written = spark.read.parquet(path)
+    aggs = [F.count(F.lit(1)).alias("rows")]
+    has_tok = token_col and token_col in written.columns
+    if has_tok:
+        aggs.append(F.sum(token_col).cast("long").alias("tokens"))
+    stats = {r["sink"]: r for r in written.groupBy("sink").agg(*aggs).collect()}
+    secs = time.time() - t0
+    results: dict = {}
+    for spec in sinks:
+        r = stats.get(spec.name)
+        rows = int(r["rows"]) if r else 0
+        tokens = int(r["tokens"]) if r and has_tok else None
+        ckpt.commit(spark, base, run_id, stage, spec.name, rows, tokens, None)
+        results[spec.name] = {"rows": rows, "tokens": tokens,
+                              "path": f"{path}/sink={spec.name}"}
+    results["_secs"] = round(secs, 3)
+    return results
+
+
 def sink_stats(spark: SparkSession, base: str, run_id: str | None = None) -> DataFrame:
     """Per-sink aggregate counts from the checkpoint table (the
     SimpleStats/Metrics 'statistic event' analog, misc/SimpleStats.py:84-175)."""

@@ -295,6 +295,77 @@ def minhash_lsh_pairs(
 
 
 # --------------------------------------------------------------------- #
+# clustering pairs -> keep set
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(id, component) for every id appearing in ``pairs``, where
+    component = min id reachable through the pair graph.
+
+    Iterative min-label propagation (large-star/small-star style): each
+    round joins current labels across edges and keeps the minimum;
+    converges in O(log n) rounds for typical near-dup graphs (chains are
+    pathological but duplicate clusters are dense). Each round is two
+    shuffles; the loop is driver-side control flow over distributed
+    data — no data ever lands on the driver except the 1-row
+    convergence count.
+    """
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = edges.select(F.col("src").alias("node")).distinct() \
+        .withColumn("label", F.col("node"))
+    for _ in range(max_iterations):
+        neigh = (
+            edges.join(labels.withColumnRenamed("node", "dst"), on="dst")
+            .groupBy("src").agg(F.min("label").alias("nlabel"))
+            .withColumnRenamed("src", "node")
+        )
+        new_labels = (
+            labels.join(neigh, on="node", how="left")
+            .select("node",
+                    F.least(F.col("label"), F.coalesce("nlabel", "label"))
+                    .alias("label"))
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "nl")
+            .join(labels, on="node")
+            .filter(F.col("nl") != F.col("label")).limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("id"),
+                         F.col("label").alias("component"))
+
+
+def dedup_keep_set(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into a keep decision: group pairs
+    into connected components, keep the lowest id per component plus
+    every unpaired document. Output: df filtered to kept rows.
+
+    This is the step after minhash_lsh_pairs / simhash_pairs /
+    near_duplicate_pairs in a real curation pipeline — without it, a
+    dup CHAIN (a~b, b~c) would keep {a, c} under naive pairwise drops
+    even though a~c are transitive dups."""
+    comp = connected_components(pairs, a_col, b_col)
+    drop = comp.filter(F.col("id") != F.col("component")) \
+        .select(F.col("id").alias(id_col))
+    return df.join(drop, on=id_col, how="left_anti")
+
+
+# --------------------------------------------------------------------- #
 # SimHash
 
 def simhash(

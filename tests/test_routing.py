@@ -202,3 +202,27 @@ def test_file_sink_line_format(spark, tmp_path):
     assert res["lines"]["rows"] == 2
     got = sorted(r["value"] for r in spark.read.text(f"{base}/lines").collect())
     assert got == ["e1|click|3", "e2|error|5"]
+
+
+def test_route_and_write_tagged(spark, tmp_path):
+    from lumbermill_spark.router import SinkSpec, route_and_write_tagged
+
+    df = spark.createDataFrame(
+        [("d1", "click", 3), ("d2", "error", 5), ("d3", "click", 2)],
+        "doc_id string, event_type string, n_tok int",
+    )
+    sinks = [
+        SinkSpec("errs", "$(event_type) == 'error'"),
+        SinkSpec("rest", None),
+    ]
+    base = str(tmp_path / "tagged")
+    res = route_and_write_tagged(df, sinks, base, run_id="t1")
+    assert res["errs"]["rows"] == 1 and res["errs"]["tokens"] == 5
+    assert res["rest"]["rows"] == 2 and res["rest"]["tokens"] == 5
+    # data lands under sink= partitions and is readable per sink
+    errs = spark.read.parquet(f"{base}/routed").filter("sink = 'errs'")
+    assert [r["doc_id"] for r in errs.collect()] == ["d2"]
+    # checkpoint rows committed per sink
+    from lumbermill_spark.checkpoint import read_checkpoints
+    ck = read_checkpoints(spark, base)
+    assert ck.filter("run_id = 't1'").count() == 2

@@ -198,3 +198,18 @@ def test_ngram_jaccard_max_df(spark, docs):
                 for r in dedup.ngram_jaccard_pairs(
                     docs, n=2, threshold=0.3, block_col="source").collect()}
     assert out2 == uncapped and (1, 2) in out2
+
+
+def test_connected_components_and_keep_set(spark):
+    # chain a~b, b~c plus isolated pair d~e: components {a,b,c}, {d,e}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    comp = {r["id"]: r["component"]
+            for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in [1, 2, 3, 7, 10, 11]], "doc_id long, text string")
+    kept = sorted(r["doc_id"]
+                  for r in dedup.dedup_keep_set(docs, pairs).collect())
+    # keep component minima (1, 10) + unpaired (7)
+    assert kept == [1, 7, 10]
