@@ -44,7 +44,12 @@ def filter_to_sql(filter_string: str) -> str:
             pat = "^" + pat
         return f"({m.group('arg').strip()} rlike '{pat}')"
 
-    s = _REF.sub(lambda m: f"`{m.group(1)}`", s)   # refs first: $(f) has parens
+    # refs first: $(f) has parens. Dotted paths quote per segment so
+    # struct access works: $(geo.country) -> `geo`.`country` (a single
+    # backquoted `geo.country` would name a literal dotted column).
+    s = _REF.sub(
+        lambda m: ".".join(f"`{p}`" for p in m.group(1).split(".")), s
+    )
     s = _RE_MATCH.sub(re_repl, s)
     return s
 

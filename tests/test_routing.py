@@ -226,3 +226,15 @@ def test_route_and_write_tagged(spark, tmp_path):
     from lumbermill_spark.checkpoint import read_checkpoints
     ck = read_checkpoints(spark, base)
     assert ck.filter("run_id = 't1'").count() == 2
+
+
+def test_filter_struct_field_access(spark):
+    from pyspark.sql import functions as F
+
+    from lumbermill_spark.functions.filters import filter_to_column
+
+    df = spark.createDataFrame([(1,)], "id int").withColumn(
+        "geo", F.struct(F.lit("DE").alias("country"))
+    )
+    assert df.filter(filter_to_column("$(geo.country) == 'DE'")).count() == 1
+    assert df.filter(filter_to_column("$(geo.country) == 'US'")).count() == 0
