@@ -301,7 +301,17 @@ class RegexParser:
                 src.rlike(self.rules[-1].java_pattern),
                 F.lit(self.rules[-1].event_type),
             ).otherwise(F.lit(self.mark_unmatched_as))
-        etype = F.when(src.isNull(), F.lit(self.mark_unmatched_as)).otherwise(etype)
+        # null source: the reference yields the event UNCHANGED
+        # (Regex.py:152-159 KeyError/non-str guard), so a pre-existing
+        # event_type survives; absent one, the unmatched tag applies.
+        # Stash the prior value: the original column is dropped before
+        # the new projection resolves.
+        if "event_type" in df.columns:
+            out = out.withColumn("_lms_prior_et", F.col("event_type"))
+            prior = F.col("_lms_prior_et")
+        else:
+            prior = F.lit(self.mark_unmatched_as)
+        etype = F.when(src.isNull(), prior).otherwise(etype)
 
         cols = {"event_type": etype}
         for fname, kind in self.field_kinds.items():
@@ -328,7 +338,7 @@ class RegexParser:
             cols[fname] = expr
         out = out.drop(*[c for c in cols if c in out.columns])
         out = out.withColumns(cols)
-        return out.drop("_rule_idx", "_lms_src")
+        return out.drop("_rule_idx", "_lms_src", "_lms_prior_et")
 
     # ---------------------------- arrow engine ------------------------ #
     def _apply_arrow(self, df: DataFrame, source: Column | None,
@@ -419,8 +429,17 @@ class RegexParser:
 
         in_col = F.col(tokens_col) if decode else source
         out = df.withColumn("_parsed", parse_batch(in_col))
+        # null-source pass-through parity with the reference
+        # (Regex.py:152-159): a pre-existing event_type survives
+        if "event_type" in df.columns:
+            out = out.withColumn(
+                "_prior_et", F.when(in_col.isNull(), F.col("event_type")))
         clash = [f.name for f in out_type.fields if f.name in df.columns]
         out = out.drop(*clash)
         for f in out_type.fields:
             out = out.withColumn(f.name, F.col("_parsed")[f.name])
+        if "_prior_et" in out.columns:
+            out = out.withColumn(
+                "event_type", F.coalesce("_prior_et", "event_type")
+            ).drop("_prior_et")
         return out.drop("_parsed")

@@ -159,3 +159,29 @@ def test_engines_agree_on_corpus(spark):
         df, tokens_col="tokens").select("doc_id", "event_type", "remote_ip",
                                         "http_status")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_null_source_preserves_prior_event_type(spark):
+    """Reference parity (Regex.py:152-159): null/non-string source ->
+    event passes through UNCHANGED, keeping a prior event_type."""
+    from pyspark.sql import functions as F
+
+    from lumbermill_spark.operators.regex_parser import RegexParser
+
+    df = spark.createDataFrame(
+        [("a", "x=1", "earlier_type"), ("b", None, "earlier_type")],
+        "id string, data string, event_type string",
+    )
+    rules = [{"kv": r"x=(?P<xval>\d+)"}]
+    for engine in ("expr", "arrow"):
+        out = {r["id"]: r["event_type"]
+               for r in RegexParser(rules, source_field="data",
+                                    engine=engine).apply(df).collect()}
+        assert out["a"] == "kv", engine
+        assert out["b"] == "earlier_type", engine
+    # without a prior event_type column, null source -> mark_unmatched_as
+    df2 = spark.createDataFrame([("b", None)], "id string, data string")
+    for engine in ("expr", "arrow"):
+        out2 = RegexParser(rules, source_field="data",
+                           engine=engine).apply(df2).first()
+        assert out2["event_type"] == "Unknown", engine
