@@ -37,7 +37,8 @@ from lumbermill_spark.data.synth import synth_tokens
 from lumbermill_spark.functions.dynamic import dynamic_value_col, has_dynamic_refs
 from lumbermill_spark.functions.filters import filter_to_column
 from lumbermill_spark.functions.skew import salted_repartition
-from lumbermill_spark.operators import field_actions, lookup, parsers, stateful, stats
+from lumbermill_spark.operators import (
+    enrichers, field_actions, lookup, netflow, parsers, stateful, stats)
 from lumbermill_spark.operators.regex_parser import RegexParser
 from lumbermill_spark.router import SinkSpec, route_and_write
 
@@ -68,7 +69,21 @@ def _m_regex(df: DataFrame, cfg: dict) -> DataFrame:
         hot_rules_first=cfg.get("hot_rules_first", True),
         engine=cfg.get("engine", "auto"),
     )
-    return parser.apply(df, tokens_col=cfg.get("tokens_col"))
+    tokens_col = cfg.get("tokens_col")
+    if cfg.get("optimize_rule_order"):
+        # expr-engine hot_rules_first analog: sample-measured selectivity
+        parser.optimize_rule_order(df, tokens_col=tokens_col)
+    return parser.apply(df, tokens_col=tokens_col,
+                        drop_tokens=cfg.get("drop_tokens", False))
+
+
+def _m_geo(df: DataFrame, cfg: dict) -> DataFrame:
+    from lumbermill_spark.operators.enrichers import geo_enrich
+
+    geo = df.sparkSession.read.parquet(cfg["geo_table_path"])
+    return geo_enrich(df, geo, cfg["source_fields"],
+                      prefix_len=cfg.get("prefix_len", 3),
+                      target_field=cfg.get("target_field", "geo_info"))
 
 
 def _m_field(df: DataFrame, cfg: dict) -> DataFrame:
@@ -112,6 +127,10 @@ TRANSFORMS = {
     "parser.Inflate": _wrap(parsers.inflate),
     "parser.MsgPack": _wrap(parsers.parse_msgpack),
     "parser.XPath": _wrap(parsers.parse_xpath),
+    "parser.DomainName": _wrap(enrichers.split_domain),
+    "parser.UserAgent": _wrap(enrichers.parse_user_agent),
+    "parser.NetFlow": _wrap(netflow.parse_netflow),
+    "modifier.AddGeoInfo": _m_geo,
     "modifier.Field": _m_field,
     "modifier.AddDateTime": _wrap(parsers.add_datetime),
     "modifier.DropEvent": _m_drop,

@@ -238,3 +238,25 @@ def test_filter_struct_field_access(spark):
     )
     assert df.filter(filter_to_column("$(geo.country) == 'DE'")).count() == 1
     assert df.filter(filter_to_column("$(geo.country) == 'US'")).count() == 0
+
+
+def test_pipeline_enricher_modules(spark, tmp_path):
+    from lumbermill_spark.pipeline import compile_pipeline
+
+    geo_path = str(tmp_path / "geo")
+    spark.createDataFrame([("10.0.1", "DE")], "ip_prefix string, country string") \
+        .write.parquet(geo_path)
+    spec = [
+        {"parser.DomainName": {"source_field": "host"}},
+        {"parser.UserAgent": {"source_field": "ua"}},
+        {"modifier.AddGeoInfo": {"geo_table_path": geo_path,
+                                 "source_fields": ["ip"], "prefix_len": 3}},
+    ]
+    df = spark.createDataFrame(
+        [("www.example.co.uk", "curl/8.0.1", "10.0.1.9")],
+        "host string, ua string, ip string",
+    )
+    out = compile_pipeline(spark, spec).dataframe(df).first()
+    assert out["domain"] == "example" and out["tld"] == "co.uk"
+    assert out["user_agent_info"]["browser"] == "curl"
+    assert out["geo_info"]["country"] == "DE"
