@@ -29,6 +29,11 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--input", default=None,
                     help="existing token table path (else synthesized)")
+    ap.add_argument("--partitions", type=int, default=256,
+                    help="files in the prepared table: task granularity. "
+                    "Fine tasks (~8x the largest core count) pack into "
+                    "waves on every cluster size; one-task-per-core "
+                    "makes the stage straggler-bound")
     ap.add_argument("--prepare-only", action="store_true")
     args = ap.parse_args()
 
@@ -45,7 +50,8 @@ def main() -> None:
     try:
         spark.read.parquet(path).limit(1).collect()
     except Exception:  # noqa: BLE001 - not materialized yet
-        synth_tokens(spark, args.rows).write.mode("overwrite").parquet(path)
+        synth_tokens(spark, args.rows, num_partitions=args.partitions) \
+            .write.mode("overwrite").parquet(path)
     if args.prepare_only:
         print(json.dumps({"prepared": path}))
         return
