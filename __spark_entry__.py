@@ -500,6 +500,19 @@ def _oracle_grok() -> str:
     """
 
 
+def _q34_dedup_keepset(spark, sf):
+    """Near-dup pairs (MinHash-LSH) resolved to a keep set via
+    connected components; rows-only (hash-based candidates)."""
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=16,
+                                    shingle_n=3, threshold=0.2)
+    kept = dedup.dedup_keep_set(docs, pairs)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
 def _q33_geo_enrich(spark, sf):
     from lumbermill_spark.operators.enrichers import geo_enrich
 
@@ -555,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_tokens_roundtrip": _q31_tokens_roundtrip,
         "q32_grok_parse": _q32_grok_parse,
         "q33_geo_enrich": _q33_geo_enrich,
+        "q34_dedup_keepset": _q34_dedup_keepset,
     }
 
 
