@@ -170,11 +170,14 @@ def throttle(
 
     Batch form: the timeframe is ``timeframe_col`` (e.g.
     ``F.window('ts', '1 hour')`` or a date_trunc column); None = whole
-    input as one frame. Implemented as groupBy-count + broadcast-back
-    semi-join style filter rather than a window function: the count
-    table is (keys × frames) rows — small — so the join broadcasts and
-    the big side never shuffles. (A window function would shuffle the
-    full fact table on (key, frame).)
+    input as one frame. Implemented as groupBy-count + join-back filter
+    rather than a window function (which would shuffle the full fact
+    table on (key, frame)). The count table is (keys × frames) rows;
+    when it fits the broadcast threshold Spark/AQE broadcasts it and
+    the big side never shuffles — deliberately NOT a forced broadcast,
+    because at 10^12 events a high-cardinality key would OOM the
+    driver; past the threshold it degrades gracefully to a shuffled
+    equi-join.
     """
     kcol = F.col(key) if isinstance(key, str) else key
     keyed = df.withColumn("_thr_key", kcol)
@@ -186,6 +189,6 @@ def throttle(
     cond = counts["_thr_n"] >= min_count
     if max_count is not None:
         cond = cond & (counts["_thr_n"] <= max_count)
-    passing = F.broadcast(counts.filter(cond).select(*group))
+    passing = counts.filter(cond).select(*group)
     out = keyed.join(passing, on=group, how="inner")
     return out.drop("_thr_key", "_thr_frame", "_thr_n")
