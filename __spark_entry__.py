@@ -349,19 +349,36 @@ def _q18_dedup_exact(spark, sf):
 
 def _q19_ngram_jaccard(spark, sf):
     docs = _t(spark, sf, "documents")
+    # max_df: the Zipfian guard — shingles shared by >1000 docs within a
+    # block are dropped before the pair join (a df-k shingle alone emits
+    # k² join rows). At oracle scale (≤250 docs/block) the guard can
+    # never trip, so the SQL twin needs no df filter; at corpus scale it
+    # is what keeps the candidate space bounded.
     return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.05,
-                                     block_col="source")
+                                     block_col="source", max_df=1000)
 
 
 def _q20_minhash_lsh(spark, sf):
+    """MinHash-LSH near-dup pairs, exact-verified at jaccard >= 0.2.
+
+    Oracle-checkable because the corpus' similarity distribution is
+    bimodal (no pairs in [0.15, 0.75)): every qualifying pair has
+    jaccard >= 0.75, where the 16-band/2-row collision-miss probability
+    is < 2e-6 per pair — the banded candidates provably cover the exact
+    answer set, so the SQL twin computes exact pairs >= threshold."""
     docs = _t(spark, sf, "documents")
     return dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=16,
                                    shingle_n=3, threshold=0.2)
 
 
 def _q21_simhash(spark, sf):
+    """SimHash near-dup pairs (hamming <= 3) with the md5-based 60-bit
+    token hash so the fingerprints are bit-identical in DuckDB. The
+    4-chunk banding has recall exactly 1 at distance <= 3 (pigeonhole),
+    so the emitted pair set equals the exact all-pairs answer."""
     docs = _t(spark, sf, "documents")
-    return dedup.simhash(docs)
+    return dedup.simhash_pairs(docs, max_hamming=3, bits=60,
+                               hash_expr=dedup.md5_hash60)
 
 
 def _q22_embedding_topk(spark, sf):
@@ -375,11 +392,20 @@ def _q23_embedding_neardup(spark, sf):
     return similarity.near_duplicate_pairs(emb, threshold=0.3, round_to=4)
 
 
+_ANN_PLANES, _ANN_TABLES = 4, 16
+
+
 def _q24_ann_lsh(spark, sf):
+    """Multi-table SRP-LSH ANN top-k (h=4 planes × L=16 tables →
+    recall@5 ≈ 0.94 on this corpus; L×2^h = 256 join keys on the
+    (table, bucket) equi-join). Deterministic hyperplanes mean the
+    DuckDB twin replays the identical bucketing from the same
+    literals."""
     emb = _t(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    return similarity.ann_lsh_topk(emb, q, dim=64, k=5, num_planes=6,
-                                   round_to=4)
+    return similarity.ann_lsh_topk(emb, q, dim=64, k=5,
+                                   num_planes=_ANN_PLANES,
+                                   num_tables=_ANN_TABLES, round_to=4)
 
 
 def _q25_langid(spark, sf):
@@ -502,7 +528,9 @@ def _oracle_grok() -> str:
 
 def _q34_dedup_keepset(spark, sf):
     """Near-dup pairs (MinHash-LSH) resolved to a keep set via
-    connected components; rows-only (hash-based candidates)."""
+    connected components. Oracle-checkable for the same reason as q20
+    (LSH recall is provably 1 on this corpus' similarity gap); the
+    DuckDB twin computes exact pairs and a recursive-CTE closure."""
     docs = _t(spark, sf, "documents")
     pairs = dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=16,
                                     shingle_n=3, threshold=0.2)
@@ -677,6 +705,139 @@ def _oracle_ngram_jaccard() -> str:
     """
 
 
+def _exact_pairs_cte(threshold: float) -> str:
+    """Exact n-gram-Jaccard pair set >= threshold (no blocking) via the
+    shared-shingle explode-join — the ground truth that the MinHash-LSH
+    candidates provably cover on this corpus (see _q20_minhash_lsh)."""
+    return rf"""
+    sh AS (
+      SELECT doc_id,
+        list_distinct(CASE WHEN len(w) >= 3 THEN
+          list_transform(generate_series(1, len(w) - 2),
+                         i -> array_to_string(w[i:i+2], ' '))
+        ELSE [] END) AS g
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+            FROM documents)
+    ), ex AS (SELECT doc_id, unnest(g) AS s FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), sz AS (SELECT doc_id, len(g) AS n FROM sh),
+    pairs AS (
+      SELECT id_a, id_b,
+        round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+      FROM inter
+      JOIN sz sa ON sa.doc_id = id_a
+      JOIN sz sb ON sb.doc_id = id_b
+      WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= {threshold}
+    )"""
+
+
+def _oracle_minhash_lsh() -> str:
+    return f"WITH {_exact_pairs_cte(0.2)} SELECT id_a, id_b, jaccard FROM pairs"
+
+
+def _oracle_keepset() -> str:
+    """Keep-set twin: exact pairs -> undirected edges -> recursive-CTE
+    transitive closure -> component = min reachable id -> drop every
+    non-minimum node -> per-source aggregates."""
+    return f"""
+    WITH RECURSIVE {_exact_pairs_cte(0.2)},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
+    ),
+    comp AS (SELECT node, least(node, min(r)) AS component
+             FROM reach GROUP BY node),
+    drops AS (SELECT node FROM comp WHERE node <> component)
+    SELECT d.source, count(*) AS n_kept,
+           CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+    FROM documents d LEFT JOIN drops ON drops.node = d.doc_id
+    WHERE drops.node IS NULL
+    GROUP BY 1
+    """
+
+
+_SIMHASH_BITS = 60
+
+
+def _oracle_simhash_pairs() -> str:
+    """60-bit md5-hash simhash per doc, then exact all-pairs hamming
+    <= 3 via bit_count(xor) — equals the Spark chunk-banded pair set
+    because 4-chunk banding has recall exactly 1 at distance <= 3."""
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for b in range(_SIMHASH_BITS)
+    )
+    return rf"""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+      FROM t
+    ), v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
+    fp AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM v)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
+def _oracle_ann_lsh() -> str:
+    """Replays ann_lsh_topk exactly: the SRP hyperplanes are
+    deterministic literals, so the twin embeds the same doubles per
+    table (seed 42 + 1000·t), computes the same sign-bit buckets,
+    unions candidates across tables (DISTINCT pair, like the Spark
+    dropDuplicates), and ranks with the same tie-break."""
+    def bucket_expr(t: int) -> str:
+        planes = [similarity._hyperplane(64, p, 42 + 1000 * t)
+                  for p in range(_ANN_PLANES)]
+        return " + ".join(
+            "(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), ["
+            + ", ".join(repr(x) for x in pl)
+            + f"]) > 0 THEN {1 << p} ELSE 0 END)"
+            for p, pl in enumerate(planes)
+        )
+
+    c_sel = ", ".join(f"({bucket_expr(t)}) AS b{t}"
+                      for t in range(_ANN_TABLES))
+    match = " OR ".join(f"c.b{t} = q.b{t}" for t in range(_ANN_TABLES))
+    return f"""
+    WITH sig AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {c_sel}
+      FROM embeddings
+    ), cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        round(list_inner_product(q.v, c.v)
+              / (sqrt(list_inner_product(q.v, q.v))
+                 * sqrt(list_inner_product(c.v, c.v))), 4) AS cos
+      FROM sig q JOIN sig c ON ({match})
+      WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos,
+        CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+      FROM cand)
+    SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
+    """
+
+
 _ORACLE_COSINE = """
     round(list_inner_product(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[]))
@@ -828,6 +989,10 @@ def oracle_sql() -> dict[str, str]:
             FROM k JOIN documents d ON d.doc_id = k.keep_id
         """,
         "q19_ngram_jaccard": _oracle_ngram_jaccard(),
+        "q20_minhash_lsh": _oracle_minhash_lsh(),
+        "q21_simhash": _oracle_simhash_pairs(),
+        "q24_ann_lsh": _oracle_ann_lsh(),
+        "q34_dedup_keepset": _oracle_keepset(),
         "q22_embedding_topk": f"""
             WITH scored AS (
               SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,

@@ -306,40 +306,67 @@ def connected_components(
     """(id, component) for every id appearing in ``pairs``, where
     component = min id reachable through the pair graph.
 
-    Iterative min-label propagation (large-star/small-star style): each
-    round joins current labels across edges and keeps the minimum;
-    converges in O(log n) rounds for typical near-dup graphs (chains are
-    pathological but duplicate clusters are dense). Each round is two
-    shuffles; the loop is driver-side control flow over distributed
-    data — no data ever lands on the driver except the 1-row
-    convergence count.
+    Iterative min-label propagation: each round joins current labels
+    across edges and keeps the minimum; converges in O(diameter) rounds
+    (near-dup clusters are dense, so few). Each round is two shuffles;
+    the loop is driver-side control flow over distributed data — no
+    data ever lands on the driver except the 1-row convergence count.
+
+    Scale hygiene (the round-1 scale-killer, fixed): ``edges`` is
+    persisted ONCE before the loop so the (potentially very expensive)
+    upstream pair generation — e.g. a full MinHash-LSH pipeline — runs
+    exactly once, not once per round per action. Each round's labels
+    are persisted and the previous round's unpersisted, and every
+    ``checkpoint_interval`` rounds the labels are localCheckpoint()ed
+    to truncate the lineage (otherwise the plan doubles per round and
+    the driver re-optimizes an exponentially growing tree).
     """
+    from pyspark import StorageLevel
+
+    checkpoint_interval = 5
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     labels = edges.select(F.col("src").alias("node")).distinct() \
         .withColumn("label", F.col("node"))
-    for _ in range(max_iterations):
-        neigh = (
-            edges.join(labels.withColumnRenamed("node", "dst"), on="dst")
-            .groupBy("src").agg(F.min("label").alias("nlabel"))
-            .withColumnRenamed("src", "node")
-        )
-        new_labels = (
-            labels.join(neigh, on="node", how="left")
-            .select("node",
-                    F.least(F.col("label"), F.coalesce("nlabel", "label"))
-                    .alias("label"))
-        )
-        changed = (
-            new_labels.withColumnRenamed("label", "nl")
-            .join(labels, on="node")
-            .filter(F.col("nl") != F.col("label")).limit(1).count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
+    to_unpersist: list[DataFrame] = []
+    try:
+        for it in range(max_iterations):
+            neigh = (
+                edges.join(labels.withColumnRenamed("node", "dst"), on="dst")
+                .groupBy("src").agg(F.min("label").alias("nlabel"))
+                .withColumnRenamed("src", "node")
+            )
+            new_labels = (
+                labels.join(neigh, on="node", how="left")
+                .select("node",
+                        F.least(F.col("label"), F.coalesce("nlabel", "label"))
+                        .alias("label"))
+            )
+            if (it + 1) % checkpoint_interval == 0:
+                # truncate lineage so the plan doesn't grow per round
+                new_labels = new_labels.localCheckpoint(eager=True)
+            else:
+                new_labels = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
+            changed = (
+                new_labels.withColumnRenamed("label", "nl")
+                .join(labels, on="node")
+                .filter(F.col("nl") != F.col("label")).limit(1).count()
+            )
+            to_unpersist.append(labels)
+            labels = new_labels
+            if changed == 0:
+                break
+        # materialize the result before releasing loop-state caches so
+        # callers never re-trigger the iteration lineage
+        labels = labels.localCheckpoint(eager=True)
+    finally:
+        for prev in to_unpersist:
+            prev.unpersist()
+        edges.unpersist()
     return labels.select(F.col("node").alias("id"),
                          F.col("label").alias("component"))
 
@@ -368,24 +395,40 @@ def dedup_keep_set(
 # --------------------------------------------------------------------- #
 # SimHash
 
+def md5_hash60(col: Column) -> Column:
+    """60-bit integer hash from the md5 hex prefix (15 hex digits).
+
+    Slower than xxhash64 but computable bit-identically in DuckDB
+    (``CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)``), which makes
+    simhash fingerprints oracle-checkable end-to-end."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 64,
+    hash_expr=None,
 ) -> DataFrame:
     """(id, simhash: bigint) — sign of per-bit weighted token-hash votes.
 
     Explode tokens → one sum-aggregate per bit (±1 votes) → recombine.
     Like minhash_signatures, shuffle volume is O(docs × bits) thanks to
     partial aggregation. All arithmetic is JVM-side.
+
+    ``hash_expr``: Column→Column token hash; defaults to xxhash64 (the
+    fast path). Pass :func:`md5_hash60` (with ``bits<=60``) when the
+    fingerprint must be reproducible outside Spark (DuckDB oracle).
     """
     if not 0 < bits <= 64:
         raise ValueError("bits in (0, 64]")
+    if hash_expr is None:
+        hash_expr = F.xxhash64
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.explode_outer(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_t"),
-    ).withColumn("_h", F.xxhash64("_t"))
+    ).withColumn("_h", hash_expr(F.col("_t")))
     aggs = [
         F.sum(
             F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1)
@@ -410,14 +453,15 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bits: int = 64,
+    hash_expr=None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
-    Candidates via 4×16-bit chunk banding (pigeonhole: distance ≤ 3
-    guarantees one identical chunk), verified with bit_count(xor).
-    Output: (id_a, id_b, hamming).
+    Candidates via 4-chunk banding (pigeonhole: distance ≤ 3 guarantees
+    one identical chunk — recall is exactly 1, not probabilistic),
+    verified with bit_count(xor). Output: (id_a, id_b, hamming).
     """
-    fps = simhash(df, text_col, id_col, bits)
+    fps = simhash(df, text_col, id_col, bits, hash_expr=hash_expr)
     nchunks = 4
     width = bits // nchunks
     mask = (1 << width) - 1

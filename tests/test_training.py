@@ -200,6 +200,38 @@ def test_ngram_jaccard_max_df(spark, docs):
     assert out2 == uncapped and (1, 2) in out2
 
 
+def test_ngram_jaccard_skew_guard(spark):
+    # degenerate corpus: every doc shares one boilerplate sentence.
+    # Without the df guard the shared shingles emit O(n²) candidate
+    # pairs; with it, boilerplate shingles are pruned and the candidate
+    # space collapses. This test fails if max_df is ever ignored.
+    n = 60
+    rows = [(i, "all rights reserved copyright notice footer "
+                f"unique{i} tail{i} words{i}", "blk") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    capped = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.0,
+                                       block_col="source", max_df=10)
+    uncapped = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.0,
+                                         block_col="source")
+    assert uncapped.count() == n * (n - 1) // 2  # quadratic blowup
+    assert capped.count() == 0                   # guard prunes it all
+
+
+def test_ann_multi_table_recall(spark):
+    """Multi-table SRP-LSH must recover >= 0.8 of the exact top-5 on
+    the real (near-random-direction) embedding distribution, where a
+    single table cannot."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb, q, k=5)
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ann = similarity.ann_lsh_topk(emb, q, dim=64, k=5, num_planes=4,
+                                  num_tables=16)
+    got = {(r["query_id"], r["neighbor_id"]) for r in ann.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.8, f"recall@5 {recall:.2f} < 0.8"
+
+
 def test_connected_components_and_keep_set(spark):
     # chain a~b, b~c plus isolated pair d~e: components {a,b,c}, {d,e}
     pairs = spark.createDataFrame(
