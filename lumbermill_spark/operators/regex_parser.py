@@ -205,13 +205,19 @@ class RegexParser:
         measure per-rule selectivity on a sample ONCE and reorder the
         chain before building it. With break_on_match, putting the
         hottest rule first means most rows evaluate exactly one regex.
-        Order among rules is changed only when semantics allow (it
-        always does for first-match-wins IF rules are disjoint — which
-        is the reference's own implicit assumption when hot-sorting).
-        Returns self (mutated) for chaining.
+        Reordering first-match-wins rules is only safe for rules that
+        never match the same row — a general rule promoted above a more
+        specific subset rule would silently steal its matches. So the
+        sample measures pairwise CO-match counts too, and any pair that
+        co-matches keeps its original relative order (greedy hot-first
+        topological order under those constraints). Rule sets containing
+        Java-unsafe (arrow-engine-only) patterns are left untouched —
+        ``rlike`` would throw on them. Returns self (mutated).
         """
         if not self.break_on_match or len(self.rules) < 2:
             return self
+        if not self._expr_capable():
+            return self  # can't probe Java-unsafe patterns with rlike
         if source is None:
             src_df = decode_tokens_arrow(
                 df, tokens_col or self.source_field, out_col="_lms_line"
@@ -219,13 +225,32 @@ class RegexParser:
             src = F.col("_lms_line") if tokens_col else F.col(self.source_field)
         else:
             src_df, src = df, source
-        sample = src_df.limit(sample_rows)
-        counts = sample.agg(*[
-            F.sum(src.rlike(r.java_pattern).cast("int")).alias(f"h{i}")
+        n = len(self.rules)
+        flags = src_df.limit(sample_rows).select(*[
+            src.rlike(r.java_pattern).cast("int").alias(f"m{i}")
             for i, r in enumerate(self.rules)
-        ]).first()
-        hits = [(counts[f"h{i}"] or 0, i) for i in range(len(self.rules))]
-        order = [i for _h, i in sorted(hits, key=lambda t: (-t[0], t[1]))]
+        ])
+        aggs = [F.sum(F.col(f"m{i}")).alias(f"h{i}") for i in range(n)]
+        aggs += [
+            F.sum(F.col(f"m{i}") * F.col(f"m{j}")).alias(f"o{i}_{j}")
+            for i in range(n) for j in range(i + 1, n)
+        ]
+        counts = flags.agg(*aggs).first()
+        hits = [counts[f"h{i}"] or 0 for i in range(n)]
+        # precedence: overlapping pair (i, j), i<j, must stay i-before-j
+        preds: dict[int, set[int]] = {i: set() for i in range(n)}
+        for i in range(n):
+            for j in range(i + 1, n):
+                if (counts[f"o{i}_{j}"] or 0) > 0:
+                    preds[j].add(i)
+        order: list[int] = []
+        emitted: set[int] = set()
+        while len(order) < n:
+            ready = [i for i in range(n)
+                     if i not in emitted and preds[i] <= emitted]
+            best = max(ready, key=lambda i: (hits[i], -i))
+            order.append(best)
+            emitted.add(best)
         self.rules = [self.rules[i] for i in order]
         return self
 
@@ -313,6 +338,19 @@ class RegexParser:
             prior = F.lit(self.mark_unmatched_as)
         etype = F.when(src.isNull(), prior).otherwise(etype)
 
+        # NOTE on "one regexp_extract per group runs the regex G times":
+        # measured alternatives lose. A single-pass rewrite
+        # (regexp_replace(line, '^[\s\S]*?(?:P)[\s\S]*$', '$1\x1f$2…')
+        # + split + element_at) was benchmarked at sf0.1 on the 9-group
+        # grok rule: ~20% SLOWER even when all 9 groups are consumed
+        # (physical subexpression elimination does not share the
+        # replace+split subtree across CaseWhen branch values, and the
+        # full-line wrapper adds backtracking), and strictly worse when
+        # few groups are consumed, because Catalyst column-prunes unused
+        # per-group extracts to zero cost while the rewrite's cost is
+        # fixed. Per-group extracts + column pruning is the fast plan;
+        # the arrow engine already does true single-pass extraction for
+        # Python-only patterns.
         cols = {"event_type": etype}
         for fname, kind in self.field_kinds.items():
             expr: Column = F.lit(None).cast(

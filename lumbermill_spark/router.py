@@ -99,22 +99,28 @@ def route_and_write(
     token_col: str | None = "n_tok",
     resume: bool = False,
     with_lineage: bool = True,
-    persist_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+    persist_level: StorageLevel | None = StorageLevel.DISK_ONLY,
 ) -> dict:
     """Write every sink branch, collect per-sink metrics in-pass, commit
     checkpoint rows. Returns {sink: {rows, tokens, skipped, path, secs}}.
 
     resume=True skips sinks already committed for this run_id.
-    At 100TB the persisted parent should be DISK_ONLY or the branches
-    disjoint enough that recompute-with-pushdown beats caching; the
-    persist level is a knob for exactly that.
+    The multi-sink parent persist defaults to DISK_ONLY: at corpus
+    scale a MEMORY_AND_DISK cache of the full routed parent is a spill
+    storm (executors evict under memory pressure mid-write), while
+    DISK_ONLY is a predictable sequential spill. Pass
+    ``persist_level=None`` to skip caching entirely and let each sink
+    recompute with filter/column pushdown — the right call when sink
+    predicates are selective enough that N pushdown scans are cheaper
+    than one full materialization (or use route_and_write_tagged for
+    the disjoint single-pass form).
     """
     spark = df.sparkSession
     if run_id is None:
         run_id = uuid.uuid4().hex[:12]
     done = ckpt.committed_sinks(spark, base, run_id) if resume else set()
 
-    multi = len([s for s in sinks if s.path]) > 1
+    multi = len([s for s in sinks if s.path]) > 1 and persist_level is not None
     if multi:
         df = df.persist(persist_level)
 
@@ -193,7 +199,28 @@ def route_and_write_tagged(
     recompute of the pipeline. Checkpoint commit rows are written per
     sink, so resume/stats interop matches route_and_write.
     Returns {sink: {rows, tokens, path}, "_secs": ...}.
+
+    The single-pass writer honors only name+filter: every sink lands as
+    parquet under {base}/routed/sink=<name>. Specs carrying per-sink
+    path/format/columns/line_format/compression settings are REJECTED
+    (ValueError) rather than silently ignored — callers with configured
+    sinks belong on route_and_write.
     """
+    for s in sinks:
+        custom = {
+            "path": s.path, "columns": s.columns,
+            "line_format": s.line_format, "compression": s.compression,
+            "format": None if s.format == "parquet" else s.format,
+            "partition_by": s.partition_by or None,
+            "mode": None if s.mode == "overwrite" else s.mode,
+        }
+        set_opts = [k for k, v in custom.items() if v is not None]
+        if set_opts:
+            raise ValueError(
+                f"route_and_write_tagged cannot honor per-sink settings "
+                f"{set_opts} on sink {s.name!r}; use route_and_write for "
+                "configured sinks"
+            )
     spark = df.sparkSession
     if run_id is None:
         run_id = uuid.uuid4().hex[:12]

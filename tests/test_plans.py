@@ -92,3 +92,35 @@ def test_optimize_rule_order_promotes_hot_rule(spark, tok_path):
     b = {r["event_type"]: r["count"]
          for r in opt.groupBy("event_type").count().collect()}
     assert a == b
+
+
+def test_optimize_rule_order_keeps_overlapping_rules_ordered(spark):
+    # k_high matches a SUBSET of k_any rows: k_any has more hits, but
+    # promoting it above k_high would steal every high match. The
+    # co-match constraint must pin k_high before k_any.
+    df = spark.createDataFrame(
+        [(f'{{"k": {i % 100}}}',) for i in range(500)], "props string")
+    parser = RegexParser(
+        [{"k_high": r'"k": (?P<kval>[5-9][0-9])\}'},
+         {"k_any": r'"k": (?P<kval>[0-9]+)\}'}],
+        source_field="props", engine="expr",
+    )
+    parser.optimize_rule_order(df, source=df["props"])
+    assert [r.event_type for r in parser.rules] == ["k_high", "k_any"]
+    out = parser.apply(df)
+    counts = {r["event_type"]: r["count"]
+              for r in out.groupBy("event_type").count().collect()}
+    assert counts == {"k_high": 250, "k_any": 250}
+
+
+def test_optimize_rule_order_skips_java_unsafe(spark):
+    # backreference (?P=…) is arrow-engine-only; rlike would throw, so
+    # the optimizer must leave the rule order untouched
+    df = spark.createDataFrame([("aa",), ("ab",)], "line string")
+    parser = RegexParser(
+        [{"doubled": r"(?P<c>\w)(?P=c)"}, {"any": r"(?P<c2>\w+)"}],
+    )
+    assert parser.engine == "arrow"
+    order_before = [r.event_type for r in parser.rules]
+    parser.optimize_rule_order(df, source=df["line"])
+    assert [r.event_type for r in parser.rules] == order_before

@@ -228,6 +228,25 @@ def test_route_and_write_tagged(spark, tmp_path):
     assert ck.filter("run_id = 't1'").count() == 2
 
 
+def test_route_and_write_tagged_rejects_configured_sinks(spark, tmp_path):
+    import pytest
+
+    from lumbermill_spark.router import SinkSpec, route_and_write_tagged
+
+    df = spark.createDataFrame([("d1", "click", 3)],
+                               "doc_id string, event_type string, n_tok int")
+    # the single-pass writer can't honor a per-sink path/format/
+    # line_format — it must refuse, not silently write parquet elsewhere
+    for spec in [
+        SinkSpec("s", None, path=str(tmp_path / "elsewhere")),
+        SinkSpec("s", None, format="json"),
+        SinkSpec("s", None, line_format="$(doc_id)"),
+        SinkSpec("s", None, columns=["doc_id"]),
+    ]:
+        with pytest.raises(ValueError, match="cannot honor"):
+            route_and_write_tagged(df, [spec], str(tmp_path / "t"))
+
+
 def test_filter_struct_field_access(spark):
     from pyspark.sql import functions as F
 

@@ -75,6 +75,19 @@ def test_metrics_summary_and_histogram(spark):
     assert r["histogram"] == {1: 4, 2: 5, 3: 1}
 
 
+def test_metrics_histogram_non_uniform_edges(spark):
+    # numpy.digitize semantics over explicitly non-uniform edges —
+    # width_bucket's (lo, hi, n) form would put 3.0 in the wrong bin
+    df = spark.createDataFrame(
+        [("m", float(v)) for v in [-1, 0, 1, 3, 9, 50, 99, 100, 150]],
+        "name string, v double",
+    )
+    r = stats.metrics(df, "$(name)", value_field="v",
+                      buckets=[0.0, 1.0, 10.0, 100.0]).collect()[0]
+    # <0 -> 0; [0,1) -> 1; [1,10) -> 2; [10,100) -> 3; >=100 -> 4
+    assert r["histogram"] == {0: 1, 1: 1, 2: 3, 3: 2, 4: 2}
+
+
 def test_math_row_and_interval(spark):
     df = spark.createDataFrame(
         [("a", 2.0, 3.0), ("a", 4.0, 5.0), ("b", 1.0, 1.0)],
