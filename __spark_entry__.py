@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -561,6 +562,282 @@ def _q33_geo_enrich(spark, sf):
     ).agg(F.count(F.lit(1)).alias("n_rows"))
 
 
+# ===================================================================== #
+# round-2 coverage queries: every previously pytest-only parser/
+# enricher/action gets a driver-contract entry. Each synthesizes its
+# input deterministically from the events table so the DuckDB twin can
+# derive the expected output from the same base columns.
+
+def _q35_csv_parse(spark, sf):
+    """parser.Csv: real from_csv parse incl. a quoted field containing
+    the delimiter; twin derives expectations from the base columns."""
+    ev = _t(spark, sf, "events").filter(F.col("event_id") < 200)
+    line = F.format_string('%d|%s|"q|%d"', F.col("event_id"),
+                           F.col("event_type"), F.pmod(F.col("user_id"), F.lit(7)))
+    df = ev.select(F.col("event_id"), line.alias("data"))
+    out = parsers.parse_csv(df, ["id", "etype", "note"], source_field="data",
+                            drop_source=True)
+    return out.select("event_id", "id", "etype", "note")
+
+
+def _q36_line_split(spark, sf):
+    """parser.Line: 1→N explode at the separator."""
+    ev = _t(spark, sf, "events")
+    df = ev.select(F.concat_ws("\n", F.col("event_type"),
+                               F.col("user_id").cast("string"),
+                               F.lit("tail")).alias("data"))
+    out = parsers.parse_line(df)
+    return out.groupBy(F.col("data").alias("part")).agg(
+        F.count(F.lit(1)).alias("n_rows"))
+
+
+def _q37_url_parse(spark, sf):
+    """parser.Url: urldecode + full component split + querystring map."""
+    ev = _t(spark, sf, "events").filter(F.col("event_id") < 200)
+    url = F.format_string(
+        "https://u%d:pw@www.example.co.uk:8443/api/v%d/item%%2Dx?a=%d&b=2#frag",
+        F.pmod(F.col("user_id"), F.lit(5)), F.pmod(F.col("event_id"), F.lit(3)),
+        F.pmod(F.col("user_id"), F.lit(10)),
+    )
+    df = ev.select("event_id", url.alias("u"))
+    out = parsers.parse_url(df, "u", target_field="p", parse_querystring=True,
+                            querystring_target_field="q")
+    return out.select(
+        "event_id",
+        F.col("p.scheme").alias("scheme"),
+        F.col("p.hostname").alias("hostname"),
+        F.col("p.port").cast("long").alias("port"),
+        F.col("p.path").alias("path"),
+        F.col("p.username").alias("username"),
+        F.col("p.fragment").alias("fragment"),
+        F.try_element_at(F.col("q"), F.lit("a")).alias("qa"),
+    )
+
+
+def _q38_base64(spark, sf):
+    """parser.Base64 encode/decode roundtrip; the encode side is
+    independently recomputed by DuckDB's base64()."""
+    ev = _t(spark, sf, "events").filter(F.col("event_id") < 500)
+    enc = parsers.base64_codec(ev.select("event_id", "props"), "encode",
+                               "props", target_field="b64")
+    dec = parsers.base64_codec(enc, "decode", "b64", target_field="back")
+    return dec.select("event_id", "b64",
+                      (F.col("back") == F.col("props")).alias("roundtrip"))
+
+
+def _q39_encoding(spark, sf):
+    """parser.Encoding: utf-8 → iso-8859-1 recode of binary payloads."""
+    ev = _t(spark, sf, "events").filter(F.col("event_id") < 500)
+    df = ev.select("event_id", "props",
+                   F.encode(F.col("props"), "utf-8").alias("raw"))
+    out = parsers.recode_charset(df, "raw", "utf-8", "latin-1",
+                                 target_field="rec")
+    return out.select(
+        "event_id",
+        F.length("rec").cast("long").alias("n_bytes"),
+        (F.decode(F.col("rec"), "iso-8859-1") == F.col("props"))
+        .alias("roundtrip"),
+    )
+
+
+def _q40_inflate(spark, sf):
+    """parser.Inflate: zlib-decompress payloads compressed in-query;
+    twin checks the recovered plaintext."""
+    import zlib
+
+    @F.pandas_udf("binary")
+    def _deflate(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: None if v is None else
+                     zlib.compress(v.encode("utf-8")))
+
+    ev = _t(spark, sf, "events").filter(F.col("event_id") < 500)
+    df = ev.select("event_id", _deflate(F.col("props")).alias("z"))
+    out = parsers.inflate(df, "z", target_field="text", compression="zlib")
+    return out.select("event_id", "text")
+
+
+def _q41_netflow(spark, sf):
+    """parser.NetFlow: binary v5 datagrams (synthesized per event)
+    decoded 1→N with protocol names + TCP flag decode."""
+    from lumbermill_spark.operators.netflow import encode_v5, parse_netflow
+
+    @F.pandas_udf("binary")
+    def _datagram(eid: pd.Series, uid: pd.Series, oc: pd.Series) -> pd.Series:
+        protos = [6, 17, 1]
+        return pd.Series([
+            encode_v5([(int(e) & 0xFFFFFFFF, int(u) & 0xFFFFFFFF,
+                        int(e) % 65536, 443, int(u) % 100 + 1, int(o),
+                        protos[int(e) % 3], int(e) % 64)])
+            for e, u, o in zip(eid, uid, oc)
+        ])
+
+    ev = _t(spark, sf, "events")
+    df = ev.select(
+        F.format_string("d%d", F.col("event_id")).alias("doc_id"),
+        _datagram(F.col("event_id"), F.col("user_id"),
+                  F.floor(F.col("value")).cast("long")).alias("payload"),
+    )
+    flows = parse_netflow(df)
+    return flows.groupBy("protocol").agg(
+        F.count(F.lit(1)).alias("n_flows"),
+        F.sum("octets").cast("long").alias("sum_octets"),
+        F.sum("packets").cast("long").alias("sum_packets"),
+        F.sum(F.size("tcp_flags")).cast("long").alias("sum_flags"),
+    )
+
+
+def _q42_xpath(spark, sf):
+    """parser.XPath: //v/text() over synthesized XML."""
+    ev = _t(spark, sf, "events")
+    xml = F.format_string("<e><t>%s</t><v>%d</v><v>%d</v></e>",
+                          F.col("event_type"),
+                          F.pmod(F.col("user_id"), F.lit(10)),
+                          F.pmod(F.col("event_id"), F.lit(7)))
+    df = ev.select("event_id", xml.alias("xml"))
+    out = parsers.parse_xpath(df, "xml", "//v/text()", target_field="vals")
+    return out.select(
+        "event_id",
+        F.array_join("vals", ",").alias("vals_csv"),
+        F.size("vals").cast("long").alias("n_vals"),
+    )
+
+
+def _q43_domain_split(spark, sf):
+    """parser.DomainName: fqdn → tld/domain/subdomain incl. multi-label
+    public suffixes."""
+    from lumbermill_spark.operators.enrichers import split_domain
+
+    ev = _t(spark, sf, "events")
+    host = F.concat(
+        F.lit("m"), F.pmod(F.col("user_id"), F.lit(5)).cast("string"),
+        F.lit("."), F.col("event_type"),
+        F.when(F.pmod(F.col("event_id"), F.lit(2)) == 0,
+               F.lit(".co.uk")).otherwise(F.lit(".org")),
+    )
+    out = split_domain(ev.select(host.alias("host")), "host")
+    return out.groupBy("tld", "domain").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("subdomain").alias("n_subs"),
+    )
+
+
+_UA_SAMPLES = [
+    "Mozilla/5.0 (Windows NT 10.0; Win64) AppleWebKit/537.36 Chrome/120.0",
+    "curl/8.4.0",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) Version/17.0 Safari/605.1.15",
+    "Mozilla/5.0 (X11; Linux x86_64; rv:115.0) Gecko/20100101 Firefox/115.0",
+    "Googlebot/2.1 (+http://www.google.com/bot.html)",
+    "Mozilla/5.0 (Linux; Android 13) AppleWebKit/537.36 Chrome/119.0 Mobile",
+]
+def _q44_user_agent(spark, sf):
+    """parser.UserAgent: dedupe-distinct → parse once per UA →
+    broadcast join back; heuristic rules exercised over 6 UA families."""
+    from lumbermill_spark.operators.enrichers import parse_user_agent
+
+    ev = _t(spark, sf, "events")
+    ua = F.element_at(F.array(*[F.lit(u) for u in _UA_SAMPLES]),
+                      (F.pmod(F.col("user_id"), F.lit(6)) + 1).cast("int"))
+    df = ev.select("event_id", ua.alias("ua"))
+    out = parse_user_agent(df, "ua", target_field="i")
+    return out.groupBy(
+        F.col("i.browser").alias("browser"), F.col("i.os").alias("os"),
+        F.col("i.is_bot").alias("is_bot"),
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def _fake_resolver(host: str) -> str:
+    """Deterministic DNS stand-in (no network in this runtime)."""
+    return "10.0.0." + str(len(host) % 250)
+
+
+def _q45_dns_lookup(spark, sf):
+    """modifier.AddDnsLookup: distinct→resolve→broadcast-join with an
+    injected deterministic resolver."""
+    from lumbermill_spark.operators.enrichers import dns_lookup
+
+    ev = _t(spark, sf, "events")
+    df = ev.select(F.concat(F.col("event_type"), F.lit(".example.com"))
+                   .alias("host"))
+    out = dns_lookup(df, "host", resolver=_fake_resolver)
+    return out.groupBy("host", "dns_name").agg(
+        F.count(F.lit(1)).alias("n_rows"))
+
+
+def _q46_datetime_tz(spark, sf):
+    """parser.DateTime with timezone conversion: string → UTC instant →
+    America/New_York wall time → string."""
+    ev = _t(spark, sf, "events")
+    df = ev.select(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("t"))
+    out = parsers.parse_datetime(
+        df, "t", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d %H",
+        target_field="ny_hour",
+        source_timezone="UTC", target_timezone="America/New_York")
+    return out.groupBy("ny_hour").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def _q47_merge_end_pattern(spark, sf):
+    """modifier.MergeEvent with end_pattern: a 'purchase' row closes the
+    session; the next row opens a new one."""
+    ev = _t(spark, sf, "events")
+    out = stateful.merge_event(
+        ev, "user_id", "ts", "event_type",
+        end_pattern=r"^purchase$", glue="|",
+    )
+    return out.select(
+        F.col("buffer_key").cast("long").alias("user_id"),
+        F.col("session").cast("long").alias("session"),
+        F.col("event_type").alias("chain"),
+        F.col("n_merged"),
+    )
+
+
+def _q48_string_actions(spark, sf):
+    """Field actions string_replace (count-limited) + key_value +
+    key_value_regex + hash + rename_regex in one pipeline."""
+    ev = _t(spark, sf, "events").filter(F.col("event_id") < 300)
+    s = F.format_string("k1=%d;k2=%s;k1=%d",
+                        F.pmod(F.col("user_id"), F.lit(10)),
+                        F.col("event_type"),
+                        F.pmod(F.col("event_id"), F.lit(5)))
+    df = ev.select("event_id", "event_type", s.alias("s"))
+    df = field_actions.string_replace(df, "s", "k1", "kX", max=1)
+    df = field_actions.key_value(df, "s", kv_separator="=",
+                                 line_separator=";", target_field="kv",
+                                 prefix="p_")
+    df = field_actions.key_value_regex(df, "s", r"(\w+)=(\w+)",
+                                       target_field="rkv")
+    df = field_actions.hash_(df, ["event_type"], ["et_md5"], "md5")
+    df = field_actions.hash_(df, ["event_type"], ["et_sha"], "sha256",
+                             salt="s")
+    df = field_actions.rename_regex(df, r"^et_", "h_")
+    return df.select(
+        "event_id", "s",
+        F.try_element_at(F.col("kv"), F.lit("p_k2")).alias("k2"),
+        F.try_element_at(F.col("rkv"), F.lit("kX")).alias("kx"),
+        "h_md5", "h_sha",
+    )
+
+
+def _q49_exec_python(spark, sf):
+    """modifier.ExecPython escape hatch: user code over Arrow batches
+    via mapInPandas (never per-row Python)."""
+    from lumbermill_spark.operators.escape import exec_python
+
+    ev = _t(spark, sf, "events").filter(F.col("event_id") < 500) \
+        .select("event_id", "event_type", "value")
+    out = exec_python(
+        ev,
+        code=("import numpy as np\n"
+              "def transform(pdf):\n"
+              "    pdf = pdf.copy()\n"
+              "    pdf['vk'] = np.floor(pdf['value'] * 2).astype('int64')\n"
+              "    return pdf[['event_id', 'event_type', 'vk']]\n"),
+        schema="event_id long, event_type string, vk long",
+    )
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_simple_stats": _q01_simple_stats,
@@ -597,6 +874,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_grok_parse": _q32_grok_parse,
         "q33_geo_enrich": _q33_geo_enrich,
         "q34_dedup_keepset": _q34_dedup_keepset,
+        "q35_csv_parse": _q35_csv_parse,
+        "q36_line_split": _q36_line_split,
+        "q37_url_parse": _q37_url_parse,
+        "q38_base64": _q38_base64,
+        "q39_encoding": _q39_encoding,
+        "q40_inflate": _q40_inflate,
+        "q41_netflow": _q41_netflow,
+        "q42_xpath": _q42_xpath,
+        "q43_domain_split": _q43_domain_split,
+        "q44_user_agent": _q44_user_agent,
+        "q45_dns_lookup": _q45_dns_lookup,
+        "q46_datetime_tz": _q46_datetime_tz,
+        "q47_merge_end_pattern": _q47_merge_end_pattern,
+        "q48_string_actions": _q48_string_actions,
+        "q49_exec_python": _q49_exec_python,
     }
 
 
@@ -1070,5 +1362,137 @@ def oracle_sql() -> dict[str, str]:
               md5(line) AS payload_md5,
               CAST(length(line) AS BIGINT) AS n_tok
             FROM tok
+        """,
+        "q35_csv_parse": """
+            SELECT event_id, CAST(event_id AS VARCHAR) AS id,
+                   event_type AS etype,
+                   printf('q|%d', user_id % 7) AS note
+            FROM events WHERE event_id < 200
+        """,
+        "q36_line_split": """
+            SELECT part, count(*) AS n_rows
+            FROM (SELECT unnest(string_split(
+                    event_type || chr(10) || CAST(user_id AS VARCHAR)
+                    || chr(10) || 'tail', chr(10))) AS part
+                  FROM events)
+            GROUP BY 1
+        """,
+        "q37_url_parse": """
+            SELECT event_id, 'https' AS scheme,
+                   'www.example.co.uk' AS hostname,
+                   CAST(8443 AS BIGINT) AS port,
+                   printf('/api/v%d/item-x', event_id % 3) AS path,
+                   'u' || CAST(user_id % 5 AS VARCHAR) AS username,
+                   'frag' AS fragment,
+                   CAST(user_id % 10 AS VARCHAR) AS qa
+            FROM events WHERE event_id < 200
+        """,
+        "q38_base64": """
+            SELECT event_id, base64(encode(props)) AS b64,
+                   true AS roundtrip
+            FROM events WHERE event_id < 500
+        """,
+        "q39_encoding": """
+            SELECT event_id,
+                   CAST(octet_length(encode(props)) AS BIGINT) AS n_bytes,
+                   true AS roundtrip
+            FROM events WHERE event_id < 500
+        """,
+        "q40_inflate": """
+            SELECT event_id, props AS text
+            FROM events WHERE event_id < 500
+        """,
+        "q41_netflow": """
+            SELECT CASE event_id % 3 WHEN 0 THEN 'tcp' WHEN 1 THEN 'udp'
+                        ELSE 'icmp' END AS protocol,
+                   count(*) AS n_flows,
+                   CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT)
+                     AS sum_octets,
+                   CAST(sum(user_id % 100 + 1) AS BIGINT) AS sum_packets,
+                   CAST(sum(bit_count(CAST(event_id % 64 AS BIGINT)))
+                     AS BIGINT) AS sum_flags
+            FROM events GROUP BY 1
+        """,
+        "q42_xpath": """
+            SELECT event_id,
+                   printf('%d,%d', user_id % 10, event_id % 7) AS vals_csv,
+                   CAST(2 AS BIGINT) AS n_vals
+            FROM events
+        """,
+        "q43_domain_split": """
+            WITH h AS (
+              SELECT CASE WHEN event_id % 2 = 0 THEN 'co.uk'
+                          ELSE 'org' END AS tld,
+                     event_type AS domain,
+                     'm' || CAST(user_id % 5 AS VARCHAR) AS subdomain
+              FROM events)
+            SELECT tld, domain, count(*) AS n_rows,
+                   count(DISTINCT subdomain) AS n_subs
+            FROM h GROUP BY 1, 2
+        """,
+        "q44_user_agent": """
+            WITH x AS (
+              SELECT CASE user_id % 6
+                WHEN 0 THEN ('Chrome', 'Windows', false)
+                WHEN 1 THEN ('curl', 'Other', false)
+                WHEN 2 THEN ('Safari', 'macOS', false)
+                WHEN 3 THEN ('Firefox', 'Linux', false)
+                WHEN 4 THEN ('bot', 'Other', true)
+                ELSE ('Chrome', 'Android', false) END AS e
+              FROM events)
+            SELECT e[1] AS browser, e[2] AS os,
+                   CAST(e[3] AS BOOLEAN) AS is_bot, count(*) AS n_rows
+            FROM x GROUP BY 1, 2, 3
+        """,
+        "q45_dns_lookup": """
+            WITH h AS (SELECT event_type || '.example.com' AS host
+                       FROM events)
+            SELECT host,
+                   '10.0.0.' || CAST(length(host) % 250 AS VARCHAR)
+                     AS dns_name,
+                   count(*) AS n_rows
+            FROM h GROUP BY 1, 2
+        """,
+        "q46_datetime_tz": """
+            SELECT strftime(timezone('America/New_York',
+                     CAST(strftime(ts, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP)
+                     AT TIME ZONE 'UTC'), '%Y-%m-%d %H') AS ny_hour,
+                   count(*) AS n_rows
+            FROM events GROUP BY 1
+        """,
+        "q47_merge_end_pattern": """
+            WITH p AS (
+              SELECT user_id, ts, event_type,
+                lag(event_type, 1, '') OVER
+                  (PARTITION BY user_id ORDER BY ts) AS prev
+              FROM events
+            ), s AS (
+              SELECT user_id, ts, event_type,
+                sum(CASE WHEN prev = 'purchase' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts) AS session
+              FROM p)
+            SELECT user_id, CAST(session AS BIGINT) AS session,
+              string_agg(event_type, '|' ORDER BY ts) AS chain,
+              count(*) AS n_merged
+            FROM s GROUP BY 1, 2
+        """,
+        "q48_string_actions": """
+            WITH b AS (
+              SELECT event_id, event_type,
+                regexp_replace(
+                  printf('k1=%d;k2=%s;k1=%d', user_id % 10, event_type,
+                         event_id % 5),
+                  'k1', 'kX') AS s,
+                CAST(user_id % 10 AS VARCHAR) AS kx
+              FROM events WHERE event_id < 300)
+            SELECT event_id, s, event_type AS k2, kx,
+                   md5(event_type) AS h_md5,
+                   sha256('s' || event_type) AS h_sha
+            FROM b
+        """,
+        "q49_exec_python": """
+            SELECT event_id, event_type,
+                   CAST(floor(value * 2) AS BIGINT) AS vk
+            FROM events WHERE event_id < 500
         """,
     }

@@ -28,6 +28,8 @@ Engine-primitive config keys honored on every module
 
 from __future__ import annotations
 
+import difflib
+import inspect
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -37,8 +39,10 @@ from lumbermill_spark.data.synth import synth_tokens
 from lumbermill_spark.functions.dynamic import dynamic_value_col, has_dynamic_refs
 from lumbermill_spark.functions.filters import filter_to_column
 from lumbermill_spark.functions.skew import salted_repartition
+from lumbermill_spark.internal import InternalStore
 from lumbermill_spark.operators import (
-    enrichers, field_actions, lookup, netflow, parsers, stateful, stats)
+    enrichers, escape, field_actions, lookup, netflow, parsers, stateful,
+    stats)
 from lumbermill_spark.operators.regex_parser import RegexParser
 from lumbermill_spark.router import SinkSpec, route_and_write
 
@@ -99,7 +103,9 @@ def _m_drop(df: DataFrame, cfg: dict) -> DataFrame:
 
 
 def _wrap(fn):
-    return lambda df, cfg: fn(df, **cfg)
+    wrapper = lambda df, cfg: fn(df, **cfg)  # noqa: E731
+    wrapper._raw = fn
+    return wrapper
 
 
 def _m_throttle(df: DataFrame, cfg: dict) -> DataFrame:
@@ -144,7 +150,71 @@ TRANSFORMS = {
     "misc.Throttle": _m_throttle,
     "misc.SaltedRepartition": _wrap(salted_repartition),
     "misc.Noop": lambda df, cfg: df,
+    # ExecPython escape hatch (modifier/ExecPython.py:41-65): user
+    # Python over Arrow batches via mapInPandas
+    "modifier.ExecPython": _wrap(escape.exec_python),
 }
+
+# valid option keys for modules whose builder isn't a _wrap'ed function
+# (BaseModule-style docstring schemas -> explicit sets here)
+_EXPLICIT_KEYS: dict[str, set[str] | None] = {
+    "parser.Regex": {"field_extraction_patterns", "source_field",
+                     "mark_unmatched_as", "break_on_match",
+                     "hot_rules_first", "engine", "tokens_col",
+                     "optimize_rule_order", "drop_tokens"},
+    "modifier.AddGeoInfo": {"geo_table_path", "source_fields",
+                            "prefix_len", "target_field"},
+    "modifier.Field": None,  # validated per-action below
+    "modifier.DropEvent": set(),
+    "misc.Throttle": {"key", "timeframe", "ts_field", "min_count",
+                      "max_count"},
+    "misc.Noop": set(),
+    "misc.SetInternal": {"key", "value"},
+}
+
+
+def _fn_keys(fn) -> set[str] | None:
+    params = list(inspect.signature(fn).parameters.values())[1:]  # drop df
+    if any(p.kind == inspect.Parameter.VAR_KEYWORD for p in params):
+        return None  # **kwargs: can't enumerate, skip validation
+    return {p.name for p in params}
+
+
+def valid_keys(name: str) -> set[str] | None:
+    """Allowed config keys for a module (None = action-specific)."""
+    if name in _EXPLICIT_KEYS:
+        return _EXPLICIT_KEYS[name]
+    fn = TRANSFORMS[name]
+    raw = getattr(fn, "_raw", None)
+    return _fn_keys(raw) if raw is not None else set()
+
+
+def _validate_module(name: str, cfg: dict) -> None:
+    """Compile-time config validation (the reference validates module
+    configs from docstring schemas before start,
+    utils/ConfigurationValidator.py:47-77): unknown module or option →
+    error naming the field, before any Spark job runs."""
+    known = valid_keys(name)
+    if name == "modifier.Field":
+        action = cfg.get("action")
+        if action is None:
+            raise ValueError("modifier.Field requires 'action'")
+        if action not in field_actions.ACTIONS:
+            hint = difflib.get_close_matches(
+                action, field_actions.ACTIONS, n=1)
+            raise ValueError(
+                f"unknown field action {action!r}"
+                + (f" (did you mean {hint[0]!r}?)" if hint else ""))
+        fk = _fn_keys(field_actions.ACTIONS[action])
+        known = None if fk is None else fk | {"action"}
+    if known is None:
+        return
+    extra = set(cfg) - known - _COMMON_KEYS
+    for k in sorted(extra):
+        hint = difflib.get_close_matches(k, known | _COMMON_KEYS, n=1)
+        raise ValueError(
+            f"unknown option {k!r} for module {name!r}"
+            + (f" (did you mean {hint[0]!r}?)" if hint else ""))
 
 INPUTS = {
     "input.Tokens": _in_tokens,
@@ -192,6 +262,10 @@ class CompiledPipeline:
         self.stages = stages            # [(name, cfg), ...] transform modules
         self.sinks = sinks
         self._source = source_df
+        # set_internal/get_internal analog (BaseModule.py:234-235):
+        # values set by misc.SetInternal stages (or .internal.set()) and
+        # consumed by any later module config via '@internal:<key>'
+        self.internal = InternalStore(spark)
 
     def dataframe(self, df: DataFrame | None = None) -> DataFrame:
         """The transform DAG output (pre-routing)."""
@@ -199,7 +273,10 @@ class CompiledPipeline:
         if cur is None:
             raise ValueError("pipeline has no input stage and no df given")
         for name, cfg in self.stages:
-            cur = _apply_module(cur, name, cfg)
+            if name == "misc.SetInternal":
+                self.internal.set(cfg["key"], cfg.get("value"))
+                continue
+            cur = _apply_module(cur, name, self.internal.resolve(cfg))
         return cur
 
     def run(self, base: str, run_id: str | None = None, resume: bool = False,
@@ -224,12 +301,25 @@ def compile_pipeline(spark: SparkSession, spec: list | dict | str) -> CompiledPi
     source_df = None
     stages: list = []
     sinks: list[SinkSpec] = []
+    _SINK_KEYS = {"name", "filter", "path", "format", "partition_by",
+                  "columns", "mode", "compression", "line_format",
+                  "format_line"}
+    _INPUT_KEYS = {"input.Tokens": {"path", "format"},
+                   "input.Synthetic": {"rows", "seed"}}
     for item in spec:
         (name, cfg), = item.items()
         cfg = cfg or {}
         if name in INPUTS:
+            extra = set(cfg) - _INPUT_KEYS[name]
+            if extra:
+                raise ValueError(
+                    f"unknown option {sorted(extra)[0]!r} for {name!r}")
             source_df = INPUTS[name](spark, cfg)
         elif name in OUTPUTS:
+            extra = set(cfg) - _SINK_KEYS
+            if extra:
+                raise ValueError(
+                    f"unknown option {sorted(extra)[0]!r} for {name!r}")
             fmt = {"output.Parquet": "parquet", "output.File": "text",
                    "output.DevNull": "noop", "output.StdOut": "noop"}[name]
             sinks.append(SinkSpec(
@@ -243,8 +333,14 @@ def compile_pipeline(spark: SparkSession, spec: list | dict | str) -> CompiledPi
                 compression=cfg.get("compression"),
                 line_format=cfg.get("line_format") or cfg.get("format_line"),
             ))
-        elif name in TRANSFORMS:
+        elif name in TRANSFORMS or name == "misc.SetInternal":
+            _validate_module(name, cfg)
             stages.append((name, cfg))
         else:
-            raise ValueError(f"unknown module {name!r}")
+            hint = difflib.get_close_matches(
+                name, list(TRANSFORMS) + list(INPUTS) + list(OUTPUTS)
+                + ["misc.SetInternal"], n=1)
+            raise ValueError(
+                f"unknown module {name!r}"
+                + (f" (did you mean {hint[0]!r}?)" if hint else ""))
     return CompiledPipeline(spark, stages, sinks, source_df)

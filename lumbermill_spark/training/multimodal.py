@@ -87,14 +87,33 @@ def decode_images(df: DataFrame, codec: str = "real") -> DataFrame:
     if codec not in ("real", "fake"):
         raise ValueError("codec must be 'real' or 'fake'")
 
+    def _decode_real(payload: bytes) -> tuple[int, int, int, float]:
+        # import-guarded: Pillow is an optional extra. Where it exists
+        # codec='real' decodes actual image bytes inside the same
+        # mapInPandas plan; in this runtime the guard raises and tests
+        # exercise it conditionally.
+        import io
+
+        try:
+            from PIL import Image
+        except ImportError as exc:
+            raise NotImplementedError(
+                "no image codec in this runtime (pip install pillow), "
+                "use codec='fake' for the deterministic test codec"
+            ) from exc
+        img = Image.open(io.BytesIO(payload))
+        channels = len(img.getbands())
+        gray = img.convert("L")
+        hist = gray.histogram()
+        total = sum(hist) or 1
+        mean = sum(i * c for i, c in enumerate(hist)) / total / 255.0
+        return img.width, img.height, channels, round(mean, 6)
+
+    decode_one = _decode_real if codec == "real" else _decode_fake
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if codec == "real":
-                raise NotImplementedError(
-                    "no image codec in this runtime; use codec='fake' "
-                    "or plug a real decoder into decode_images"
-                )
-            feats = [_decode_fake(bytes(p)) for p in pdf["payload"]]
+            feats = [decode_one(bytes(p)) for p in pdf["payload"]]
             out = pd.DataFrame(
                 feats, columns=["width", "height", "channels", "mean_luma"]
             )

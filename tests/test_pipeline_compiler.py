@@ -1,0 +1,206 @@
+"""Compiler-level features: config validation, set_internal store,
+ExecPython escape hatch, Kafka option wiring."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lumbermill_spark.pipeline import compile_pipeline
+
+
+@pytest.fixture()
+def ev(spark):
+    return spark.createDataFrame(
+        [(1, "click", 3.0), (2, "error", 5.0), (3, "click", 2.0)],
+        "event_id long, event_type string, value double",
+    )
+
+
+# ------------------------------------------------------------------ #
+# config validation (ConfigurationValidator.py analog)
+
+def test_unknown_module_fails_at_compile(spark):
+    with pytest.raises(ValueError, match="unknown module.*parser.Regx"):
+        compile_pipeline(spark, [{"parser.Regx": {}}])
+
+
+def test_unknown_module_suggests(spark):
+    with pytest.raises(ValueError, match="did you mean 'parser.Regex'"):
+        compile_pipeline(spark, [{"parser.Regex2": {}}])
+
+
+def test_unknown_option_fails_before_any_job(spark):
+    with pytest.raises(ValueError,
+                       match="unknown option 'sourcefield'.*parser.Csv"):
+        compile_pipeline(spark, [
+            {"parser.Csv": {"fieldnames": ["a"], "sourcefield": "x"}},
+        ])
+
+
+def test_unknown_option_suggests(spark):
+    with pytest.raises(ValueError, match="did you mean 'source_field'"):
+        compile_pipeline(spark, [
+            {"parser.Csv": {"fieldnames": ["a"], "sourcefield": "x"}},
+        ])
+
+
+def test_unknown_field_action_fails(spark):
+    with pytest.raises(ValueError, match="unknown field action 'uper'"):
+        compile_pipeline(spark, [{"modifier.Field": {"action": "uper"}}])
+
+
+def test_field_action_option_validated(spark):
+    with pytest.raises(ValueError,
+                       match="unknown option 'sourcefield'.*modifier.Field"):
+        compile_pipeline(spark, [
+            {"modifier.Field": {"action": "upper", "sourcefield": ["x"]}},
+        ])
+
+
+def test_sink_and_input_options_validated(spark):
+    with pytest.raises(ValueError, match="unknown option 'filtr'"):
+        compile_pipeline(spark, [{"output.Parquet": {"filtr": "x"}}])
+    with pytest.raises(ValueError, match="unknown option 'rows'"):
+        compile_pipeline(spark, [{"input.Tokens": {"rows": 5}}])
+
+
+def test_common_keys_still_accepted(spark, ev):
+    p = compile_pipeline(spark, [
+        {"modifier.Field": {"action": "upper", "source_fields": ["event_type"],
+                            "filter": "$(value) > 2.5"}},
+    ])
+    out = {r["event_id"]: r["event_type"] for r in p.dataframe(ev).collect()}
+    assert out == {1: "CLICK", 2: "ERROR", 3: "click"}
+
+
+# ------------------------------------------------------------------ #
+# set_internal (BaseModule.py:234-235 analog)
+
+def test_set_internal_feeds_later_module(spark, ev):
+    p = compile_pipeline(spark, [
+        {"misc.SetInternal": {"key": "run_tag", "value": "r42"}},
+        {"modifier.Field": {"action": "insert", "target_field": "tag",
+                            "value": "@internal:run_tag"}},
+    ])
+    out = p.dataframe(ev)
+    assert {r["tag"] for r in out.collect()} == {"r42"}
+    # programmatic surface + broadcast handle
+    p.internal.set("threshold", 2.5)
+    assert p.internal.get("threshold") == 2.5
+    assert p.internal.broadcast("threshold").value == 2.5
+
+
+def test_internal_unset_key_raises(spark, ev):
+    p = compile_pipeline(spark, [
+        {"modifier.Field": {"action": "insert", "target_field": "tag",
+                            "value": "@internal:nope"}},
+    ])
+    with pytest.raises(KeyError, match="nope"):
+        p.dataframe(ev)
+
+
+# ------------------------------------------------------------------ #
+# ExecPython escape hatch (modifier/ExecPython.py analog)
+
+def test_exec_python_fn(spark, ev):
+    from lumbermill_spark.operators.escape import exec_python
+
+    def double(pdf):
+        pdf = pdf.copy()
+        pdf["value"] = pdf["value"] * 2
+        return pdf
+
+    out = exec_python(ev, fn=double)
+    assert {r["value"] for r in out.collect()} == {6.0, 10.0, 4.0}
+    assert out.schema == ev.schema
+
+
+def test_exec_python_code_via_pipeline(spark, ev):
+    code = (
+        "def transform(pdf):\n"
+        "    pdf = pdf.copy()\n"
+        "    pdf['event_type'] = pdf['event_type'].str.upper()\n"
+        "    return pdf\n"
+    )
+    p = compile_pipeline(spark, [{"modifier.ExecPython": {"code": code}}])
+    out = {r["event_type"] for r in p.dataframe(ev).collect()}
+    assert out == {"CLICK", "ERROR"}
+
+
+def test_exec_python_schema_change(spark, ev):
+    from lumbermill_spark.operators.escape import exec_python
+
+    out = exec_python(
+        ev,
+        code=("def transform(pdf):\n"
+              "    import pandas as pd\n"
+              "    return pd.DataFrame({'n': [len(pdf)]})\n"),
+        schema="n long",
+    )
+    assert sum(r["n"] for r in out.collect()) == 3
+
+
+def test_exec_python_arg_validation(spark, ev):
+    from lumbermill_spark.operators.escape import exec_python
+
+    with pytest.raises(ValueError, match="exactly one"):
+        exec_python(ev)
+    with pytest.raises(ValueError, match="exactly one"):
+        exec_python(ev, fn=lambda p: p, code="x = 1")
+
+
+# ------------------------------------------------------------------ #
+# Kafka option wiring (jar-gated; no broker needed)
+
+def test_kafka_option_wiring():
+    from lumbermill_spark.streaming.kafka import (
+        kafka_read_options, kafka_write_options)
+
+    r = kafka_read_options(brokers=["b1:9092", "b2:9092"],
+                           topics=["logs", "metrics"],
+                           group_id="lm", starting_offsets="earliest")
+    assert r == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "logs,metrics",
+        "startingOffsets": "earliest",
+        "failOnDataLoss": "false",
+        "kafka.group.id": "lm",
+    }
+    w = kafka_write_options(brokers="b1:9092", topic="out")
+    assert w == {"kafka.bootstrap.servers": "b1:9092", "topic": "out"}
+
+
+def test_kafka_source_fails_fast_without_jar(spark):
+    from lumbermill_spark.streaming.kafka import kafka_source
+
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        kafka_source(spark, brokers="b:9092", topics="t")
+
+
+# ------------------------------------------------------------------ #
+# multimodal real codec (conditional on Pillow)
+
+def test_decode_images_real_codec_guard(spark):
+    from lumbermill_spark.training import multimodal
+
+    media = multimodal.synth_media(spark, 3)
+    try:
+        import PIL  # noqa: F401
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    if have_pil:  # pragma: no cover - not in this container
+        import io
+
+        from PIL import Image
+
+        import pandas as pd
+
+        buf = io.BytesIO()
+        Image.new("RGB", (8, 6)).save(buf, format="PNG")
+        df = spark.createDataFrame(
+            [("m-1", bytearray(buf.getvalue()))], "media_id string, payload binary")
+        row = multimodal.decode_images(df, codec="real").first()
+        assert (row["width"], row["height"], row["channels"]) == (8, 6, 3)
+    else:
+        with pytest.raises(Exception, match="no image codec"):
+            multimodal.decode_images(media, codec="real").collect()
