@@ -41,8 +41,8 @@ from lumbermill_spark.functions.filters import filter_to_column
 from lumbermill_spark.functions.skew import salted_repartition
 from lumbermill_spark.internal import InternalStore
 from lumbermill_spark.operators import (
-    enrichers, escape, field_actions, lookup, netflow, parsers, stateful,
-    stats)
+    collectd, enrichers, escape, field_actions, lookup, netflow, parsers,
+    stateful, stats)
 from lumbermill_spark.operators.regex_parser import RegexParser
 from lumbermill_spark.router import SinkSpec, route_and_write
 
@@ -136,6 +136,7 @@ TRANSFORMS = {
     "parser.DomainName": _wrap(enrichers.split_domain),
     "parser.UserAgent": _wrap(enrichers.parse_user_agent),
     "parser.NetFlow": _wrap(netflow.parse_netflow),
+    "parser.Collectd": _wrap(collectd.parse_collectd),
     "modifier.AddGeoInfo": _m_geo,
     "modifier.Field": _m_field,
     "modifier.AddDateTime": _wrap(parsers.add_datetime),

@@ -93,46 +93,46 @@ def ngram_jaccard_pairs(
     shingles end-to-end) for cross-checking.
     Output: (id_a, id_b, jaccard) with id_a < id_b.
     """
+    from pyspark.sql import Window
+
     grams = word_shingles(F.col(text_col), n)
     blk = [F.col(block_col).alias("_blk")] if block_col else []
     blk_names = ["_blk"] if block_col else []
     if hashed:
+        # ONE scan+explode; document frequency (the max_df Zipfian
+        # guard — a shingle shared by k docs alone emits k² join rows)
+        # and per-doc post-pruning set size are both WINDOW counts over
+        # the same exploded frame, not join-backs that would re-execute
+        # the explode. The final self-join uses .alias() so both sides
+        # canonicalize to the identical subtree and the (blk, h)
+        # exchange is planned once and reused (ReusedExchange) instead
+        # of recomputing the whole pipeline per side.
         ex = df.select(
             F.col(id_col).alias("_id"), *blk,
             F.explode(F.transform(grams, lambda s: F.xxhash64(s))).alias("_h"),
         )
         if max_df:
-            # Zipfian guard: a shingle shared by k documents yields k²
-            # join rows — at corpus scale, boilerplate shingles explode
-            # the candidate space. Dropping shingles with document
-            # frequency > max_df bounds it; Jaccard is then computed
-            # over the pruned shingle space (sizes below follow suit).
-            freq = ex.groupBy(*blk_names, "_h").agg(
-                F.count(F.lit(1)).alias("_df"))
-            ex = ex.join(freq.filter(F.col("_df") <= max_df)
-                         .select(*blk_names, "_h"),
-                         on=[*blk_names, "_h"])
-            sizes = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
-        else:
-            sizes = df.select(F.col(id_col).alias("_id"),
-                              F.size(grams).alias("_n"))
-        a = ex.select(F.col("_id").alias("id_a"), *[F.col(c) for c in blk_names],
-                      "_h")
-        b = ex.select(F.col("_id").alias("id_b"), *[F.col(c) for c in blk_names],
-                      "_h")
+            w_df = Window.partitionBy(*blk_names, "_h")
+            ex = ex.withColumn("_df", F.count(F.lit(1)).over(w_df)) \
+                   .filter(F.col("_df") <= max_df).drop("_df")
+        ex = ex.withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy("_id")))
+        a, b = ex.alias("a"), ex.alias("b")
+        join_cond = [F.col(f"a.{c}") == F.col(f"b.{c}")
+                     for c in [*blk_names, "_h"]]
         inter = (
-            a.join(b, on=[*blk_names, "_h"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("_inter"))
+            a.join(b, on=join_cond)
+            .filter(F.col("a._id") < F.col("b._id"))
+            .groupBy(F.col("a._id").alias("id_a"),
+                     F.col("b._id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("_inter"),
+                 F.min(F.col("a._n")).alias("_na"),
+                 F.min(F.col("b._n")).alias("_nb"))
         )
-        sa = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
-        sb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
-        joined = inter.join(sa, "id_a").join(sb, "id_b")
         union = (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double")
         jac = F.when(union > 0, F.col("_inter").cast("double") / union) \
             .otherwise(F.lit(0.0))
-        out = joined.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        out = inter.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         # NB pairs with zero shared shingles are (correctly) absent —
         # with a threshold > 0 that is exactly the wanted semantics
         if threshold > 0:

@@ -83,3 +83,46 @@ def test_netflow_roundtrip(spark):
     assert rows[0]["protocol"] == "tcp"
     assert set(rows[0]["tcp_flags"]) == {"SYN", "ACK"}
     assert rows[1]["protocol"] == "udp" and rows[1]["octets"] == 300
+
+
+def test_collectd_roundtrip(spark):
+    from lumbermill_spark.operators import collectd as cd
+
+    p1 = cd.encode_packet(
+        "web01", "cpu", [(cd.DS_GAUGE, 0.75), (cd.DS_COUNTER, 123456)],
+        time=1700000000, interval=10, plugin_instance="0",
+        type_="percent", type_instance="user")
+    p2 = cd.encode_packet("db01", "memory", [(cd.DS_DERIVE, -42)])
+    df = spark.createDataFrame(
+        [("d1", bytearray(p1)), ("d2", bytearray(p2)),
+         ("d3", bytearray(b"\x00\x06junk"))],
+        "doc_id string, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in cd.parse_collectd(df).collect()}
+    assert set(rows) == {"d1", "d2"}  # d3 malformed -> dropped
+    r1 = rows["d1"]
+    assert (r1["host"], r1["plugin"], r1["plugin_instance"],
+            r1["type"], r1["type_instance"]) == (
+        "web01", "cpu", "0", "percent", "user")
+    assert r1["time"] == 1700000000.0 and r1["interval"] == 10.0
+    assert r1["dstypes"] == [cd.DS_GAUGE, cd.DS_COUNTER]
+    assert r1["values"] == [0.75, 123456.0]
+    assert rows["d2"]["values"] == [-42.0]
+    assert rows["d2"]["time"] is None
+
+
+def test_collectd_multi_values_parts(spark):
+    # two VALUES parts in ONE packet -> two rows (documented divergence
+    # from the reference's last-wins event.update)
+    from lumbermill_spark.operators import collectd as cd
+
+    pkt = cd.encode_packet("h", "p", [(cd.DS_GAUGE, 1.0)])
+    pkt += cd._U16.pack(0)[:0]  # no-op, keep bytes object
+    extra_body = cd._U16.pack(1) + bytes([cd.DS_GAUGE]) + cd._LED.pack(2.5)
+    pkt += cd._HDR.pack(cd.TYPE_VALUES, cd._HDR.size + len(extra_body)) \
+        + extra_body
+    df = spark.createDataFrame([("d1", bytearray(pkt))],
+                               "doc_id string, payload binary")
+    vals = sorted(r["values"][0]
+                  for r in cd.parse_collectd(df).collect())
+    assert vals == [1.0, 2.5]
