@@ -841,6 +841,38 @@ def _q49_exec_python(spark, sf):
     return out
 
 
+def _q50_collectd(spark, sf):
+    """parser.Collectd: binary protocol packets (synthesized per event)
+    decoded 1→N; per-plugin metric aggregates."""
+    from lumbermill_spark.operators import collectd as cd
+
+    @F.pandas_udf("binary")
+    def _packet(eid: pd.Series, uid: pd.Series, et: pd.Series,
+                val: pd.Series) -> pd.Series:
+        return pd.Series([
+            cd.encode_packet(
+                f"h{int(u) % 50}", e,
+                [(cd.DS_GAUGE, float(int(v))), (cd.DS_COUNTER, int(i))],
+                time=1_700_000_000 + int(i) % 1000, interval=10)
+            for i, u, e, v in zip(eid, uid, et, val)
+        ])
+
+    ev = _t(spark, sf, "events")
+    df = ev.select(
+        F.format_string("c%d", F.col("event_id")).alias("doc_id"),
+        _packet(F.col("event_id"), F.col("user_id"), F.col("event_type"),
+                F.floor(F.col("value"))).alias("payload"),
+    )
+    rec = cd.parse_collectd(df)
+    return rec.groupBy("plugin").agg(
+        F.count(F.lit(1)).alias("n_vals"),
+        F.sum(F.element_at("values", 1)).cast("long").alias("sum_gauge"),
+        F.sum(F.element_at("values", 2)).cast("long").alias("sum_counter"),
+        F.count_distinct("host").alias("n_hosts"),
+        F.min("time").alias("min_time"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_simple_stats": _q01_simple_stats,
@@ -892,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_merge_end_pattern": _q47_merge_end_pattern,
         "q48_string_actions": _q48_string_actions,
         "q49_exec_python": _q49_exec_python,
+        "q50_collectd": _q50_collectd,
     }
 
 
@@ -1497,5 +1530,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, event_type,
                    CAST(floor(value * 2) AS BIGINT) AS vk
             FROM events WHERE event_id < 500
+        """,
+        "q50_collectd": """
+            SELECT event_type AS plugin, count(*) AS n_vals,
+                   CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT)
+                     AS sum_gauge,
+                   CAST(sum(event_id) AS BIGINT) AS sum_counter,
+                   count(DISTINCT 'h' || CAST(user_id % 50 AS VARCHAR))
+                     AS n_hosts,
+                   CAST(1700000000 + min(event_id % 1000) AS DOUBLE)
+                     AS min_time
+            FROM events GROUP BY 1
         """,
     }
