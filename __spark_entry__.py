@@ -841,6 +841,56 @@ def _q49_exec_python(spark, sf):
     return out
 
 
+def _q51_ann_ivf(spark, sf):
+    """IVF ANN top-k (the second ANN scale path beside SRP-LSH):
+    deterministic sampled centroids, one cell per corpus vector,
+    nprobe=3 probed cells per query, exact cosine within the union.
+    The DuckDB twin replays the identical coarse quantization."""
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(emb, q, k=5, nprobe=3, centroid_stride=64,
+                               round_to=4)
+
+
+def _oracle_ann_ivf() -> str:
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id % 64 = 0
+    ), base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), sims AS (
+      SELECT b.vec_id, c.centroid_id,
+        list_inner_product(b.v, c.cv)
+          / (sqrt(list_inner_product(b.v, b.v))
+             * sqrt(list_inner_product(c.cv, c.cv))) AS sim
+      FROM base b CROSS JOIN cents c
+    ), ranked AS (
+      SELECT vec_id, centroid_id,
+        row_number() OVER (PARTITION BY vec_id
+                           ORDER BY sim DESC, centroid_id) AS rk
+      FROM sims
+    ), cassign AS (SELECT vec_id, centroid_id AS cell FROM ranked WHERE rk = 1),
+    qprobe AS (SELECT vec_id, centroid_id AS cell FROM ranked
+               WHERE rk <= 3 AND vec_id < 10),
+    cand AS (
+      SELECT qp.vec_id AS query_id, ca.vec_id AS neighbor_id,
+        round(list_inner_product(a.v, b.v)
+              / (sqrt(list_inner_product(a.v, a.v))
+                 * sqrt(list_inner_product(b.v, b.v))), 4) AS cos
+      FROM qprobe qp
+      JOIN cassign ca ON ca.cell = qp.cell AND ca.vec_id <> qp.vec_id
+      JOIN base a ON a.vec_id = qp.vec_id
+      JOIN base b ON b.vec_id = ca.vec_id
+    ), out AS (
+      SELECT query_id, neighbor_id, cos,
+        CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+      FROM cand)
+    SELECT query_id, neighbor_id, cos, rank FROM out WHERE rank <= 5
+    """
+
+
 def _q50_collectd(spark, sf):
     """parser.Collectd: binary protocol packets (synthesized per event)
     decoded 1→N; per-plugin metric aggregates."""
@@ -925,6 +975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_string_actions": _q48_string_actions,
         "q49_exec_python": _q49_exec_python,
         "q50_collectd": _q50_collectd,
+        "q51_ann_ivf": _q51_ann_ivf,
     }
 
 
@@ -1542,4 +1593,5 @@ def oracle_sql() -> dict[str, str]:
                      AS min_time
             FROM events GROUP BY 1
         """,
+        "q51_ann_ivf": _oracle_ann_ivf(),
     }

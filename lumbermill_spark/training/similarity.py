@@ -154,6 +154,103 @@ def srp_signature(
     return df.withColumn(out_col, sig)
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str | None = None,
+    n: int = 1,
+    out_col: str = "cell",
+) -> DataFrame:
+    """Assign each vector to its ``n`` nearest centroids by cosine
+    (ties broken by centroid id) — the IVF coarse quantizer.
+
+    Centroids are collected to the driver (they are few by design) and
+    the assignment is one vectorized Arrow matmul per batch against the
+    broadcast centroid matrix — the corpus never shuffles. n=1 builds
+    the index (one cell per vector); n=nprobe>1 expands queries to
+    their probe list. Output: input columns + ``out_col`` (exploded —
+    one row per assigned cell).
+    """
+    import numpy as np
+
+    cvec = centroid_vec_col or vec_col
+    rows = [(r[centroid_id_col], r[cvec])
+            for r in centroids.select(centroid_id_col, cvec).collect()]
+    rows.sort(key=lambda r: r[0])
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    cnorms = np.linalg.norm(mat, axis=1)
+    cnorms[cnorms == 0] = 1.0
+    k = min(n, len(ids))
+
+    @F.pandas_udf("array<long>")
+    def _nearest(v: pd.Series) -> pd.Series:
+        arr = np.stack(v.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(arr, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        # dot-then-divide (not normalize-then-dot): mirrors the SQL
+        # twin's list_inner_product / (sqrt·sqrt) rounding behavior
+        sims = (arr @ mat.T) / (norms * cnorms)  # (batch, n_centroids)
+        # top-k by (-sim, centroid_id): lexsort is stable + total order
+        order = np.lexsort((np.broadcast_to(ids, sims.shape), -sims),
+                           axis=-1)[:, :k]
+        return pd.Series(list(ids[order]))
+
+    out = df.withColumn("_cells", _nearest(F.col(vec_col)))
+    return out.select(*df.columns, F.explode("_cells").alias(out_col))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 3,
+    centroid_stride: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF approximate top-k: the second ANN scale path next to
+    multi-table SRP-LSH.
+
+    Single-pass IVF with deterministic centroids: every
+    ``centroid_stride``-th corpus vector is a centroid (no iterative
+    k-means — deterministic, oracle-replayable, and at corpus scale the
+    sample is as good a coarse quantizer as one Lloyd round). Corpus
+    vectors land in exactly one cell; queries probe their ``nprobe``
+    nearest cells; exact cosine top-k within the probed union. The
+    cell equi-join is shuffle-partitionable on ~N/stride keys and the
+    corpus is scanned once — O(N·nprobe/stride) scored pairs per query
+    instead of O(N).
+    Output: (query_id, neighbor_id, cos, rank).
+    """
+    cents = corpus.filter(F.pmod(F.col(id_col), F.lit(centroid_stride)) == 0) \
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col))
+    c = ivf_assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("_cv")),
+        cents, vec_col="_cv", centroid_vec_col=vec_col, n=1)
+    q = ivf_assign(
+        queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("_qv")),
+        cents, vec_col="_qv", centroid_vec_col=vec_col, n=nprobe)
+    joined = c.join(q, on=["cell"]).filter(
+        F.col("query_id") != F.col("neighbor_id"))
+    scored = joined.select(
+        "query_id", "neighbor_id",
+        F.round(cosine(F.col("_qv"), F.col("_cv")), round_to).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def srp_buckets(
     vec: Column,
     dim: int,

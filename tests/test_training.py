@@ -232,6 +232,34 @@ def test_ann_multi_table_recall(spark):
     assert recall >= 0.8, f"recall@5 {recall:.2f} < 0.8"
 
 
+def test_ivf_topk(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    out = similarity.ivf_topk(emb, q, k=5, nprobe=3, centroid_stride=64)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(10))
+    for qid, rs in by_q.items():
+        assert [r["rank"] for r in sorted(rs, key=lambda r: r["rank"])] \
+            == list(range(1, len(rs) + 1))
+        assert all(r["neighbor_id"] != qid for r in rs)
+    # determinism
+    again = similarity.ivf_topk(emb, q, k=5, nprobe=3,
+                                centroid_stride=64).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # probing more cells can only improve candidate quality: nprobe
+    # covering ALL cells must equal exact top-k
+    n_cells = emb.filter(F.col("vec_id") % 64 == 0).count()
+    full = similarity.ivf_topk(emb, q, k=5, nprobe=n_cells,
+                               centroid_stride=64)
+    exact = similarity.cosine_topk(emb, q, k=5)
+    got = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    assert got == truth
+
+
 def test_connected_components_and_keep_set(spark):
     # chain a~b, b~c plus isolated pair d~e: components {a,b,c}, {d,e}
     pairs = spark.createDataFrame(
