@@ -199,6 +199,12 @@ def minhash_signatures(
     O(docs × H), independent of shingle count.
     """
     params = _hash_params(num_hashes, seed)
+    # NB a tempting rewrite — xxhash64 over the word-slice ARRAY
+    # instead of the joined shingle string (skipping the string
+    # builds) — was measured only ~1.3x faster AND changes the hash
+    # basis, which reshuffles banding luck: 4 near-threshold pairs
+    # dropped out of the verified sf0.1 answer. The string basis is
+    # the verified one; keep it.
     exploded = df.select(
         F.col(id_col).alias("_id"),
         F.explode_outer(word_shingles(F.col(text_col), shingle_n)).alias("_sh"),
