@@ -111,24 +111,15 @@ def metrics(
     out = base.groupBy(F.col("_metric_name").alias("metric")).agg(*aggs)
     if buckets and value_field is not None:
         # numpy.digitize(right=False) analog over the ACTUAL edge list:
-        # uniform edges map to width_bucket (one codegen'd expression);
-        # non-uniform edges get an explicit ladder of comparisons —
-        # width_bucket's (lo, hi, n) form would silently mis-bin them.
+        # bucket index = count of edges <= v, one codegen'd comparison
+        # per edge. Never width_bucket's (lo, hi, n) form — it silently
+        # mis-bins non-uniform edges, and even for uniform edges its
+        # (v-lo)·n/(hi-lo) float division can flip boundary values
+        # that direct comparison bins exactly (hypothesis-found).
         v = F.col(value_field).cast("double")
-        widths = [buckets[i + 1] - buckets[i] for i in range(len(buckets) - 1)]
-        uniform = all(abs(w - widths[0]) < 1e-9 * max(abs(widths[0]), 1.0)
-                      for w in widths)
-        if uniform:
-            bucket_expr = F.width_bucket(
-                v, F.lit(float(buckets[0])), F.lit(float(buckets[-1])),
-                len(buckets) - 1,
-            )
-        else:
-            # count of edges <= v == digitize index; same boundary
-            # semantics as width_bucket (lower edge inclusive)
-            bucket_expr = sum(
-                (v >= F.lit(float(e))).cast("long") for e in buckets
-            )
+        bucket_expr = sum(
+            (v >= F.lit(float(e))).cast("long") for e in buckets
+        )
         hist = (
             base.withColumn("bucket", bucket_expr)
             .groupBy(F.col("_metric_name").alias("metric"), F.col("bucket"))

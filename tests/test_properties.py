@@ -1,0 +1,156 @@
+"""Property-based tests (hypothesis) for semantics that must match a
+pure-Python reference exactly — the SURVEY §5 strategy taken further
+than fixture examples: each property runs a batch of generated rows
+through the real Spark operator and compares against the reference
+computation row-by-row.
+
+Examples are deliberately few (max_examples) since each example is one
+Spark job; the batch-per-example shape keeps coverage high anyway.
+"""
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SET = settings(max_examples=8, deadline=None,
+               suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+# ASCII printable minus nothing special — byte-token payload domain
+ascii_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    min_size=0, max_size=120)
+
+
+@given(st.lists(ascii_text, min_size=1, max_size=25))
+@SET
+def test_token_encode_decode_roundtrip(spark, lines):
+    """encode_line ∘ decode_tokens == identity for ASCII payloads (the
+    BASELINE per-row token-array invariant)."""
+    from lumbermill_spark.functions.tokens import decode_tokens, encode_line
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(lines)],
+                               "i long, s string")
+    out = df.select("i", "s",
+                    decode_tokens(encode_line(F.col("s"))).alias("back"))
+    for r in out.collect():
+        assert r["back"] == r["s"]
+
+
+@given(st.lists(ascii_text, min_size=1, max_size=25))
+@SET
+def test_arrow_decode_matches_jvm_decode(spark, lines):
+    """The zero-copy Arrow buffer-reinterpret decode must agree with
+    the JVM per-character expression byte-for-byte."""
+    from lumbermill_spark.functions.tokens import (
+        decode_tokens, decode_tokens_arrow, encode_line)
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(lines)],
+                               "i long, s string")
+    tok = df.select("i", "s", encode_line(F.col("s")).alias("tokens"))
+    arrow = {r["i"]: r["_lms_line"]
+             for r in decode_tokens_arrow(tok, "tokens",
+                                          out_col="_lms_line").collect()}
+    jvm = {r["i"]: r["d"]
+           for r in tok.select("i", decode_tokens("tokens").alias("d"))
+           .collect()}
+    assert arrow == jvm
+
+
+num_like = st.one_of(
+    st.integers(-10**12, 10**12).map(str),
+    st.floats(allow_nan=False, allow_infinity=False,
+              width=32).map(lambda f: repr(round(f, 4))),
+    ascii_text,
+)
+
+
+@given(st.lists(num_like, min_size=1, max_size=30))
+@SET
+def test_cast_to_int_matches_reference(spark, values):
+    """cast semantics: int(float(v)) on success else 0 — the reference
+    Field.py cast error path (truncation toward zero, never rounding)."""
+    from lumbermill_spark.operators.field_actions import cast_to_int
+
+    def ref(v):
+        try:
+            return int(float(v))
+        except (TypeError, ValueError, OverflowError):
+            return 0
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)],
+                               "i long, v string")
+    out = {r["i"]: r["v"] for r in cast_to_int(df, ["v"]).collect()}
+    for i, v in enumerate(values):
+        expected = ref(v)
+        if abs(expected) > 2**62:
+            continue  # long-range edge: reference Python int is unbounded
+        assert out[i] == expected, (v, out[i], expected)
+
+
+kv_word = st.text(alphabet="abcdefghijklmnop0123456789", min_size=1,
+                  max_size=8)
+
+
+@given(st.lists(st.tuples(kv_word, kv_word), min_size=1, max_size=8,
+                unique_by=lambda t: t[0]))
+@SET
+def test_key_value_matches_python_dict(spark, pairs):
+    """key_value with line_separator parses like dict(split(sep)...)."""
+    from lumbermill_spark.operators.field_actions import key_value
+
+    s = ";".join(f"{k}={v}" for k, v in pairs)
+    df = spark.createDataFrame([(s,)], "s string")
+    out = key_value(df, "s", kv_separator="=", line_separator=";",
+                    target_field="m").first()["m"]
+    assert dict(out) == dict(pairs)
+
+
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False), min_size=1, max_size=40),
+       st.lists(st.floats(min_value=-100, max_value=100,
+                          allow_nan=False),
+                min_size=3, max_size=6, unique=True))
+@SET
+def test_histogram_matches_numpy_digitize(spark, values, edges):
+    """metrics() histogram == numpy.digitize(right=False) for ANY edge
+    list, uniform or not."""
+    import numpy as np
+
+    from lumbermill_spark.operators import stats
+
+    edges = sorted(edges)
+    df = spark.createDataFrame([("m", float(v)) for v in values],
+                               "name string, v double")
+    r = stats.metrics(df, "$(name)", value_field="v",
+                      buckets=list(edges)).collect()[0]
+    got = dict(r["histogram"])
+    expect = {}
+    for b in np.digitize(values, edges, right=False):
+        expect[int(b)] = expect.get(int(b), 0) + 1
+    assert got == expect, (edges, got, expect)
+
+
+@given(st.lists(ascii_text.filter(lambda s: s.strip()), min_size=2,
+                max_size=12))
+@SET
+def test_fingerprint_whitespace_invariance(spark, texts):
+    """fingerprint is invariant under whitespace-runs + case, and
+    injective across distinct normalized texts (md5)."""
+    from lumbermill_spark.training.textstats import fingerprint
+
+    rows = []
+    for i, t in enumerate(texts):
+        rows.append((2 * i, t))
+        rows.append((2 * i + 1, "  " + t.upper().replace(" ", "   ")))
+    df = spark.createDataFrame(rows, "id long, text string")
+    fp = {r["id"]: r["fingerprint"] for r in fingerprint(df).collect()}
+    import re
+    for i, t in enumerate(texts):
+        assert fp[2 * i] == fp[2 * i + 1], t
+        norm = re.sub(r"\s+", " ", t.strip()).lower()
+        for j, u in enumerate(texts[:i]):
+            normu = re.sub(r"\s+", " ", u.strip()).lower()
+            assert (fp[2 * i] == fp[2 * j]) == (norm == normu)
