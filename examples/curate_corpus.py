@@ -1,0 +1,73 @@
+"""End-to-end training-corpus curation example: the full document
+pipeline a data-curation team would run at 100 TB, on the sf test data.
+
+    python examples/curate_corpus.py [sf_dir] [out_base]
+
+Stages (each a library operator; see lumbermill_spark/training/):
+ 1. exact dedup           — hash-groupBy keep-first
+ 2. near-dup keep-set     — MinHash-LSH pairs → connected components
+ 3. language filter       — stopword-vote language ID, keep target lang
+ 4. quality filter        — length/word/stopword score threshold
+ 5. stats + fingerprints  — token counts per source, doc fingerprints
+ 6. routed write          — kept/dropped fan-out with per-sink metrics
+
+Everything is one lazy DataFrame chain until the final writes: Catalyst
+sees the whole plan, and the write pass carries the per-sink counts via
+observe (no second scan).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from lumbermill_spark.router import SinkSpec, route_and_write
+from lumbermill_spark.session import get_spark
+from lumbermill_spark.training import dedup, textstats
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    base = sys.argv[2] if len(sys.argv) > 2 else "/tmp/curate_out"
+    spark = get_spark("curate-corpus")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n0 = docs.count()
+
+    # 1. exact dedup
+    docs = dedup.exact_dedup(docs)
+
+    # 2. near-dup keep-set (LSH candidates -> exact verify -> CC)
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=16,
+                                    shingle_n=3, threshold=0.5)
+    docs = dedup.dedup_keep_set(docs, pairs)
+
+    # 3+4. language ID + quality score, single pass of column adds
+    docs = textstats.detect_language(docs)
+    docs = textstats.quality_score(docs)
+    docs = textstats.token_counts(docs)
+    docs = textstats.fingerprint(docs)
+
+    keep = (F.col("lang_pred") == "en") & (F.col("quality") >= 0.5)
+    sinks = [
+        SinkSpec("kept", keep, path=f"{base}/kept",
+                 partition_by=["source"]),
+        SinkSpec("dropped", ~keep, path=f"{base}/dropped",
+                 columns=["doc_id", "source", "lang_pred", "quality"]),
+    ]
+    res = route_and_write(docs, sinks, base, run_id="curate",
+                          token_col="n_ws_tokens")
+    print(f"input docs: {n0}")
+    for sink, info in res.items():
+        print(sink, {k: info.get(k) for k in
+                     ("rows", "tokens", "secs", "path")})
+    per_src = (spark.read.parquet(f"{base}/kept")
+               .groupBy("source")
+               .agg(F.count(F.lit(1)).alias("docs"),
+                    F.sum("n_subword_est").alias("est_subwords")))
+    per_src.orderBy("source").show(5)
+
+
+if __name__ == "__main__":
+    main()
