@@ -88,6 +88,51 @@ def facet_stream(
     )
 
 
+def merge_sessions_stream(
+    df: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    match_field: str = "data",
+    gap: str = "5 minutes",
+    watermark: str = "10 minutes",
+    glue: str = "",
+) -> DataFrame:
+    """modifier.MergeEvent on a stream via the built-in session_window:
+    events for a key belong to one session until ``gap`` of silence,
+    then the merged event (concatenated ``match_field``, event count,
+    session bounds) is emitted once the watermark passes.
+
+    Divergence from the batch merge_event, documented: the reference's
+    start/end PATTERN semantics need per-key ordered state, and both
+    custom-state APIs (applyInPandasWithState /
+    transformWithStateInPandas) crash their Python state workers in
+    this runtime — gap-based sessionization is the built-in-operator
+    expression of the same reassembly, and is what the reference's
+    flush-on-timeout path (MergeEvent.py buffer timeout) degenerates to
+    anyway when no end pattern arrives.
+    """
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("session"),
+                 F.col(key))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct(F.col(ts_col).alias("_t"),
+                                 F.col(match_field).alias("v")))),
+                    lambda s: s["v"],
+                ),
+                glue,
+            ).alias(match_field),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+        .select(F.col("session.start").alias("session_start"),
+                F.col("session.end").alias("session_end"),
+                key, match_field, "n_merged")
+    )
+
+
 def throttle_stream(
     df: DataFrame,
     key: str,

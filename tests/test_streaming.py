@@ -137,3 +137,32 @@ def test_stream_routed_fanout(spark, token_dir, tmp_path):
     m = spark.read.parquet(f"{base}/matched").count()
     u = spark.read.parquet(f"{base}/unmatched").count()
     assert m + u == 2000 and u > 0
+
+
+def test_stream_merge_sessions(spark, tmp_path):
+    # two sessions for u1 (gap > 1 minute between 00:00:40 and 00:10:00),
+    # one for u2; the last session stays open past the watermark and is
+    # correctly withheld in append mode
+    rows = [("2024-01-01 00:00:05", "u1", "a"),
+            ("2024-01-01 00:00:40", "u1", "b"),
+            ("2024-01-01 00:10:00", "u1", "c"),
+            ("2024-01-01 00:00:10", "u2", "x"),
+            ("2024-01-01 00:30:00", "u2", "flush-mark")]
+    src_dir = tmp_path / "mev"
+    spark.createDataFrame(rows, "ts_s string, u string, data string") \
+        .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s") \
+        .write.parquet(str(src_dir))
+    stream = spark.readStream.schema("u string, data string, ts timestamp") \
+        .parquet(str(src_dir))
+    merged = sp.merge_sessions_stream(stream, "u", ts_col="ts",
+                                      match_field="data", gap="1 minute",
+                                      watermark="2 minutes", glue="|")
+    out = str(tmp_path / "merged")
+    sp.run_to_parquet(merged, out, str(tmp_path / "ckpt_m"))
+    got = {(r["u"], str(r["session_start"])): (r["data"], r["n_merged"])
+           for r in spark.read.parquet(out).collect()}
+    assert got[("u1", "2024-01-01 00:00:05")] == ("a|b", 2)
+    assert got[("u1", "2024-01-01 00:10:00")] == ("c", 1)
+    assert got[("u2", "2024-01-01 00:00:10")] == ("x", 1)
+    # the 00:30 session is beyond the final watermark -> withheld
+    assert ("u2", "2024-01-01 00:30:00") not in got
