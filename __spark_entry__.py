@@ -891,6 +891,18 @@ def _oracle_ann_ivf() -> str:
     """
 
 
+def _q52_repetition(spark, sf):
+    """Boilerplate/repetition curation signals per document."""
+    docs = _t(spark, sf, "documents")
+    out = textstats.repetition_stats(docs)
+    return out.select(
+        "doc_id",
+        F.round("uniq_word_ratio", 6).alias("uniq_word_ratio"),
+        F.round("uniq_bigram_ratio", 6).alias("uniq_bigram_ratio"),
+        F.round("top_word_frac", 6).alias("top_word_frac"),
+    )
+
+
 def _q50_collectd(spark, sf):
     """parser.Collectd: binary protocol packets (synthesized per event)
     decoded 1→N; per-plugin metric aggregates."""
@@ -976,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_exec_python": _q49_exec_python,
         "q50_collectd": _q50_collectd,
         "q51_ann_ivf": _q51_ann_ivf,
+        "q52_repetition": _q52_repetition,
     }
 
 
@@ -1594,4 +1607,39 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1
         """,
         "q51_ann_ivf": _oracle_ann_ivf(),
+        "q52_repetition": r"""
+            WITH b AS (
+              SELECT doc_id,
+                regexp_split_to_array(trim(text), '\s+') AS w,
+                length(trim(text)) AS lt
+              FROM documents
+            ), m AS (
+              SELECT doc_id, w,
+                CASE WHEN lt > 0 THEN len(w) ELSE 0 END AS nw,
+                CASE WHEN lt > 0 AND len(w) >= 2 THEN
+                  list_transform(generate_series(1, len(w) - 1),
+                                 i -> array_to_string(w[i:i+1], ' '))
+                ELSE [] END AS bi
+              FROM b
+            ), top AS (
+              SELECT doc_id,
+                max(c) AS maxc
+              FROM (SELECT doc_id, count(*) AS c
+                    FROM (SELECT doc_id, unnest(w) AS word FROM m
+                          WHERE nw > 0)
+                    GROUP BY doc_id, word)
+              GROUP BY doc_id
+            )
+            SELECT m.doc_id,
+              round(CASE WHEN nw > 0 THEN
+                CAST(len(list_distinct(w)) AS DOUBLE) / nw
+              ELSE 0.0 END, 6) AS uniq_word_ratio,
+              round(CASE WHEN len(bi) > 0 THEN
+                CAST(len(list_distinct(bi)) AS DOUBLE) / len(bi)
+              ELSE 0.0 END, 6) AS uniq_bigram_ratio,
+              round(CASE WHEN nw > 0 THEN
+                coalesce(CAST(top.maxc AS DOUBLE), 0.0) / nw
+              ELSE 0.0 END, 6) AS top_word_frac
+            FROM m LEFT JOIN top ON top.doc_id = m.doc_id
+        """,
     }

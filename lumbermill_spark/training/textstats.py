@@ -110,6 +110,65 @@ def token_counts(
     )
 
 
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Boilerplate/repetition signals — the standard curation gate for
+    machine-generated or template-stuffed documents:
+
+    - ``uniq_word_ratio``   distinct words / words (1.0 = no repeats)
+    - ``uniq_bigram_ratio`` distinct word bigrams / bigrams
+    - ``top_word_frac``     most frequent word's share of all words
+
+    The first two are pure per-row JVM expressions. ``top_word_frac``
+    needs a per-(doc, word) count: explode → two map-side-combined
+    aggregations keyed on the doc — shuffle volume O(docs × distinct
+    words), the same shape as the minhash signature build. All ratios
+    are 0.0 for empty docs.
+    """
+    t = F.trim(F.col(text_col))
+    w = F.split(t, r"\s+")
+    nw = F.when(F.length(t) > 0, F.size(w)).otherwise(F.lit(0))
+    bi = F.when(
+        nw >= 2,
+        F.transform(F.sequence(F.lit(1), F.greatest(nw - 1, F.lit(1))),
+                    lambda i: F.array_join(F.slice(w, i, 2), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    per_row = (
+        df.withColumn("_nw", nw)
+        .withColumn(
+            "uniq_word_ratio",
+            F.when(nw > 0, F.size(F.array_distinct(w)).cast("double") / nw)
+            .otherwise(F.lit(0.0)))
+        .withColumn(
+            "uniq_bigram_ratio",
+            F.when(F.size(bi) > 0,
+                   F.size(F.array_distinct(bi)).cast("double") / F.size(bi))
+            .otherwise(F.lit(0.0)))
+    )
+    top = (
+        df.select(F.col(id_col).alias("_id"),
+                  F.explode(F.when(F.length(t) > 0, w)
+                            .otherwise(F.array().cast("array<string>")))
+                  .alias("_w"))
+        .groupBy("_id", "_w").agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("_id").agg(F.max("_c").alias("_maxc"))
+    )
+    out = per_row.join(top.withColumnRenamed("_id", id_col),
+                       on=id_col, how="left")
+    return (
+        out.withColumn(
+            "top_word_frac",
+            F.when(F.col("_nw") > 0,
+                   F.coalesce(F.col("_maxc").cast("double"), F.lit(0.0))
+                   / F.col("_nw"))
+            .otherwise(F.lit(0.0)))
+        .drop("_nw", "_maxc")
+    )
+
+
 def fingerprint(
     df: DataFrame,
     text_col: str = "text",

@@ -273,3 +273,21 @@ def test_connected_components_and_keep_set(spark):
                   for r in dedup.dedup_keep_set(docs, pairs).collect())
     # keep component minima (1, 10) + unpaired (7)
     assert kept == [1, 7, 10]
+
+
+def test_repetition_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a a"),                 # 1 word repeated
+         (2, "the quick brown fox"),     # all distinct
+         (3, "x y x y x y"),             # bigram loop
+         (4, "")],                       # empty
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textstats.repetition_stats(df).collect()}
+    assert got[1]["uniq_word_ratio"] == 0.25
+    assert got[1]["top_word_frac"] == 1.0
+    assert got[1]["uniq_bigram_ratio"] == pytest.approx(1 / 3)
+    assert got[2]["uniq_word_ratio"] == 1.0
+    assert got[2]["top_word_frac"] == 0.25
+    assert got[3]["uniq_bigram_ratio"] == pytest.approx(2 / 5)
+    assert got[4]["uniq_word_ratio"] == 0.0
+    assert got[4]["top_word_frac"] == 0.0
