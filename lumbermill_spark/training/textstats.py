@@ -122,50 +122,65 @@ def repetition_stats(
     - ``uniq_bigram_ratio`` distinct word bigrams / bigrams
     - ``top_word_frac``     most frequent word's share of all words
 
-    The first two are pure per-row JVM expressions. ``top_word_frac``
-    needs a per-(doc, word) count: explode → two map-side-combined
-    aggregations keyed on the doc — shuffle volume O(docs × distinct
-    words), the same shape as the minhash signature build. All ratios
-    are 0.0 for empty docs.
+    All three come from explode → per-(doc, token) count → per-doc
+    rollup: two map-side-combined aggregation chains (words, bigrams)
+    of slim long rows, joined back per doc. The tempting pure-per-row
+    expression form (array_distinct over word/bigram string arrays) was
+    measured 5x slower — CollapseProject re-inlines the split and the
+    bigram string builds into every ratio column (see the
+    spark-local-perf notes), while exploded counts pay each token once.
+    Bigram identity is the xxhash64 of the word pair (no string
+    materialization); the 2^-64 collision odds are noise against these
+    heuristic signals. All ratios are 0.0 for empty docs.
     """
     t = F.trim(F.col(text_col))
     w = F.split(t, r"\s+")
-    nw = F.when(F.length(t) > 0, F.size(w)).otherwise(F.lit(0))
-    bi = F.when(
-        nw >= 2,
-        F.transform(F.sequence(F.lit(1), F.greatest(nw - 1, F.lit(1))),
-                    lambda i: F.array_join(F.slice(w, i, 2), " ")),
-    ).otherwise(F.array().cast("array<string>"))
-    per_row = (
-        df.withColumn("_nw", nw)
-        .withColumn(
+    nonempty = F.when(F.length(t) > 0, w) \
+        .otherwise(F.array().cast("array<string>"))
+    word_stats = (
+        df.select(F.col(id_col).alias("_id"),
+                  F.explode(nonempty).alias("_w"))
+        .groupBy("_id", "_w").agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("_id").agg(
+            F.sum("_c").alias("_nw"),
+            F.count(F.lit(1)).alias("_uw"),
+            F.max("_c").alias("_maxc"))
+    )
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(F.sequence(F.lit(1), F.greatest(F.size(w) - 1, F.lit(1))),
+                    lambda i: F.xxhash64(F.slice(w, i, 2))),
+    ).otherwise(F.array().cast("array<bigint>"))
+    bigram_stats = (
+        df.select(F.col(id_col).alias("_id"),
+                  F.explode(bigrams).alias("_b"))
+        .groupBy("_id", "_b").agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("_id").agg(
+            F.sum("_c").alias("_nb"),
+            F.count(F.lit(1)).alias("_ub"))
+    )
+    out = (
+        df.join(word_stats.withColumnRenamed("_id", id_col),
+                on=id_col, how="left")
+        .join(bigram_stats.withColumnRenamed("_id", id_col),
+              on=id_col, how="left")
+    )
+    nw = F.coalesce(F.col("_nw"), F.lit(0))
+    nb = F.coalesce(F.col("_nb"), F.lit(0))
+    return (
+        out.withColumn(
             "uniq_word_ratio",
-            F.when(nw > 0, F.size(F.array_distinct(w)).cast("double") / nw)
+            F.when(nw > 0, F.col("_uw").cast("double") / nw)
             .otherwise(F.lit(0.0)))
         .withColumn(
             "uniq_bigram_ratio",
-            F.when(F.size(bi) > 0,
-                   F.size(F.array_distinct(bi)).cast("double") / F.size(bi))
+            F.when(nb > 0, F.col("_ub").cast("double") / nb)
             .otherwise(F.lit(0.0)))
-    )
-    top = (
-        df.select(F.col(id_col).alias("_id"),
-                  F.explode(F.when(F.length(t) > 0, w)
-                            .otherwise(F.array().cast("array<string>")))
-                  .alias("_w"))
-        .groupBy("_id", "_w").agg(F.count(F.lit(1)).alias("_c"))
-        .groupBy("_id").agg(F.max("_c").alias("_maxc"))
-    )
-    out = per_row.join(top.withColumnRenamed("_id", id_col),
-                       on=id_col, how="left")
-    return (
-        out.withColumn(
+        .withColumn(
             "top_word_frac",
-            F.when(F.col("_nw") > 0,
-                   F.coalesce(F.col("_maxc").cast("double"), F.lit(0.0))
-                   / F.col("_nw"))
+            F.when(nw > 0, F.col("_maxc").cast("double") / nw)
             .otherwise(F.lit(0.0)))
-        .drop("_nw", "_maxc")
+        .drop("_nw", "_uw", "_maxc", "_nb", "_ub")
     )
 
 
