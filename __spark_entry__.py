@@ -389,8 +389,15 @@ def _q22_embedding_topk(spark, sf):
 
 
 def _q23_embedding_neardup(spark, sf):
+    """Embedding near-dup pairs, SRP-bucket-BLOCKED (the scale path:
+    the self-join runs within 16 hash buckets, never all-pairs; the
+    DuckDB twin replays the identical bucketing from the same
+    hyperplane literals). Candidate recall follows the SRP collision
+    bound — the operator's contract is pairs-within-block."""
     emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
-    return similarity.near_duplicate_pairs(emb, threshold=0.3, round_to=4)
+    blocked = similarity.srp_signature(emb, dim=64, num_planes=4)
+    return similarity.near_duplicate_pairs(
+        blocked, threshold=0.3, block_col="srp_bucket", round_to=4)
 
 
 _ANN_PLANES, _ANN_TABLES = 4, 16
@@ -1191,6 +1198,19 @@ def _oracle_simhash_pairs() -> str:
     """
 
 
+def _sql_srp_bucket(num_planes: int, seed: int) -> str:
+    """SQL twin of srp_signature: same deterministic hyperplane
+    literals, same sign-bit bucket."""
+    planes = [similarity._hyperplane(64, p, seed)
+              for p in range(num_planes)]
+    return " + ".join(
+        "(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), ["
+        + ", ".join(repr(x) for x in pl)
+        + f"]) > 0 THEN {1 << p} ELSE 0 END)"
+        for p, pl in enumerate(planes)
+    )
+
+
 def _oracle_ann_lsh() -> str:
     """Replays ann_lsh_topk exactly: the SRP hyperplanes are
     deterministic literals, so the twin embeds the same doubles per
@@ -1198,14 +1218,7 @@ def _oracle_ann_lsh() -> str:
     unions candidates across tables (DISTINCT pair, like the Spark
     dropDuplicates), and ranks with the same tie-break."""
     def bucket_expr(t: int) -> str:
-        planes = [similarity._hyperplane(64, p, 42 + 1000 * t)
-                  for p in range(_ANN_PLANES)]
-        return " + ".join(
-            "(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), ["
-            + ", ".join(repr(x) for x in pl)
-            + f"]) > 0 THEN {1 << p} ELSE 0 END)"
-            for p, pl in enumerate(planes)
-        )
+        return _sql_srp_bucket(_ANN_PLANES, 42 + 1000 * t)
 
     c_sel = ", ".join(f"({bucket_expr(t)}) AS b{t}"
                       for t in range(_ANN_TABLES))
@@ -1399,11 +1412,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
         """,
         "q23_embedding_neardup": f"""
+            WITH s AS (
+              SELECT vec_id, embedding, ({_sql_srp_bucket(4, 42)}) AS bk
+              FROM embeddings WHERE vec_id < 200)
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
               {_ORACLE_COSINE} AS cos
-            FROM embeddings a, embeddings b
-            WHERE a.vec_id < b.vec_id AND a.vec_id < 200 AND b.vec_id < 200
-              AND {_ORACLE_COSINE} >= 0.3
+            FROM s a JOIN s b ON a.bk = b.bk AND a.vec_id < b.vec_id
+            WHERE {_ORACLE_COSINE} >= 0.3
         """,
         "q25_langid": _oracle_langid(),
         "q26_quality": _oracle_quality(),
