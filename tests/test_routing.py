@@ -279,3 +279,25 @@ def test_pipeline_enricher_modules(spark, tmp_path):
     assert out["domain"] == "example" and out["tld"] == "co.uk"
     assert out["user_agent_info"]["browser"] == "curl"
     assert out["geo_info"]["country"] == "DE"
+
+
+def test_route_and_write_no_persist(spark, tmp_path):
+    # persist_level=None: each sink recomputes with filter pushdown
+    # instead of caching the routed parent — results must be identical
+    from lumbermill_spark.router import SinkSpec, route_and_write
+
+    df = spark.createDataFrame(
+        [("d%d" % i, "error" if i % 3 == 0 else "click", i)
+         for i in range(60)],
+        "doc_id string, event_type string, n_tok int",
+    )
+    sinks = [
+        SinkSpec("errs", "$(event_type) == 'error'",
+                 path=str(tmp_path / "errs")),
+        SinkSpec("rest", "$(event_type) != 'error'",
+                 path=str(tmp_path / "rest")),
+    ]
+    res = route_and_write(df, sinks, str(tmp_path), run_id="np",
+                          persist_level=None)
+    assert res["errs"]["rows"] == 20 and res["rest"]["rows"] == 40
+    assert spark.read.parquet(str(tmp_path / "errs")).count() == 20
