@@ -850,12 +850,15 @@ def _q49_exec_python(spark, sf):
 
 def _q51_ann_ivf(spark, sf):
     """IVF ANN top-k (the second ANN scale path beside SRP-LSH):
-    deterministic sampled centroids, one cell per corpus vector,
-    nprobe=3 probed cells per query, exact cosine within the union.
-    The DuckDB twin replays the identical coarse quantization."""
+    FIXED-SIZE deterministic centroid sample (the 32 corpus rows with
+    smallest md5(id) — quantizer size independent of corpus rows, so
+    the driver-side centroid matrix never grows with the data), one
+    cell per corpus vector, nprobe=3 probed cells per query, exact
+    cosine within the union. The DuckDB twin replays the identical
+    coarse quantization via ORDER BY md5(CAST(vec_id AS VARCHAR))."""
     emb = _t(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    return similarity.ivf_topk(emb, q, k=5, nprobe=3, centroid_stride=64,
+    return similarity.ivf_topk(emb, q, k=5, nprobe=3, num_centroids=32,
                                round_to=4)
 
 
@@ -863,7 +866,8 @@ def _oracle_ann_ivf() -> str:
     return f"""
     WITH cents AS (
       SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
-      FROM embeddings WHERE vec_id % 64 = 0
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32
     ), base AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), sims AS (

@@ -130,8 +130,12 @@ def parse_collectd(df: DataFrame, source_field: str = "payload",
                     continue
                 try:
                     recs = decode_packet(bytes(payload))
-                except ValueError:
-                    continue  # reference warns + skips undecodable data
+                except (ValueError, struct.error):
+                    # reference warns + skips undecodable data
+                    # (Collectd.py decodeEvent catches everything);
+                    # struct.error covers truncated number/VALUES
+                    # bodies where unpack_from runs out of bytes
+                    continue
                 for r in recs:
                     rows.append((did, r["host"], r["plugin"],
                                  r["plugin_instance"], r["type"],

@@ -198,7 +198,8 @@ class RegexParser:
     def optimize_rule_order(self, df: DataFrame,
                             source: Column | None = None,
                             tokens_col: str | None = None,
-                            sample_rows: int = 10_000) -> "RegexParser":
+                            sample_rows: int = 10_000,
+                            sample_fraction: float = 0.1) -> "RegexParser":
         """Expr-engine analog of ``hot_rules_first`` (Regex.py:98-111):
         the reference re-sorts rules by observed hit count every 10 s at
         runtime; a WHEN chain is fixed at plan build, so instead we
@@ -209,10 +210,18 @@ class RegexParser:
         never match the same row — a general rule promoted above a more
         specific subset rule would silently steal its matches. So the
         sample measures pairwise CO-match counts too, and any pair that
-        co-matches keeps its original relative order (greedy hot-first
-        topological order under those constraints). Rule sets containing
-        Java-unsafe (arrow-engine-only) patterns are left untouched —
-        ``rlike`` would throw on them. Returns self (mutated).
+        co-matches IN THE SAMPLE keeps its original relative order
+        (greedy hot-first topological order under those constraints).
+        The constraint is SAMPLE-DERIVED, not a guarantee: the probe is
+        a seeded Bernoulli sample (``sample_fraction``, early-stopped
+        at ``sample_rows`` — reads ~rows/fraction input rows, spread
+        ~1/fraction× wider than a bare prefix limit), so an overlapping
+        pair that never co-occurs in the sampled rows can still be
+        reordered; keep the original rule order (skip this optimizer)
+        when strict first-match precedence between overlapping rules
+        must hold on every row. Rule sets containing Java-unsafe
+        (arrow-engine-only) patterns are left untouched — ``rlike``
+        would throw on them. Returns self (mutated).
         """
         if not self.break_on_match or len(self.rules) < 2:
             return self
@@ -226,7 +235,12 @@ class RegexParser:
         else:
             src_df, src = df, source
         n = len(self.rules)
-        flags = src_df.limit(sample_rows).select(*[
+        # seeded Bernoulli sample + early-stop limit, NOT a bare prefix
+        # limit: covers ~1/fraction× more of the input while still only
+        # reading ~sample_rows/fraction rows (limit stops the scan)
+        sampled = src_df.sample(fraction=sample_fraction, seed=42) \
+            .limit(sample_rows)
+        flags = sampled.select(*[
             src.rlike(r.java_pattern).cast("int").alias(f"m{i}")
             for i, r in enumerate(self.rules)
         ])

@@ -181,6 +181,37 @@ def _fn_keys(fn) -> set[str] | None:
     return {p.name for p in params}
 
 
+# required options for modules whose builder isn't a _wrap'ed function
+# (mirrors the reference's docstring-schema required flags,
+# utils/ConfigurationValidator.py:47-77)
+_EXPLICIT_REQUIRED: dict[str, set[str]] = {
+    "parser.Regex": {"field_extraction_patterns"},
+    "modifier.AddGeoInfo": {"geo_table_path", "source_fields"},
+    "misc.Throttle": {"key"},
+    "misc.SetInternal": {"key"},
+    "modifier.DropEvent": set(),
+    "misc.Noop": set(),
+    "modifier.Field": set(),  # per-action, handled in _validate_module
+}
+
+
+def _fn_required(fn) -> set[str]:
+    params = list(inspect.signature(fn).parameters.values())[1:]  # drop df
+    return {p.name for p in params
+            if p.default is inspect.Parameter.empty
+            and p.kind in (inspect.Parameter.POSITIONAL_OR_KEYWORD,
+                           inspect.Parameter.KEYWORD_ONLY)}
+
+
+def required_keys(name: str) -> set[str]:
+    """Options a module config MUST carry (no default in the builder)."""
+    if name in _EXPLICIT_REQUIRED:
+        return _EXPLICIT_REQUIRED[name]
+    fn = TRANSFORMS.get(name)
+    raw = getattr(fn, "_raw", None)
+    return _fn_required(raw) if raw is not None else set()
+
+
 def valid_keys(name: str) -> set[str] | None:
     """Allowed config keys for a module (None = action-specific)."""
     if name in _EXPLICIT_KEYS:
@@ -196,6 +227,7 @@ def _validate_module(name: str, cfg: dict) -> None:
     utils/ConfigurationValidator.py:47-77): unknown module or option →
     error naming the field, before any Spark job runs."""
     known = valid_keys(name)
+    required = required_keys(name)
     if name == "modifier.Field":
         action = cfg.get("action")
         if action is None:
@@ -206,16 +238,26 @@ def _validate_module(name: str, cfg: dict) -> None:
             raise ValueError(
                 f"unknown field action {action!r}"
                 + (f" (did you mean {hint[0]!r}?)" if hint else ""))
-        fk = _fn_keys(field_actions.ACTIONS[action])
+        act_fn = field_actions.ACTIONS[action]
+        fk = _fn_keys(act_fn)
         known = None if fk is None else fk | {"action"}
-    if known is None:
-        return
-    extra = set(cfg) - known - _COMMON_KEYS
-    for k in sorted(extra):
-        hint = difflib.get_close_matches(k, known | _COMMON_KEYS, n=1)
+        required = _fn_required(act_fn)
+    # unknown options first (the did-you-mean hint is the better error
+    # when a required field was merely typo'd) …
+    if known is not None:
+        extra = set(cfg) - known - _COMMON_KEYS
+        for k in sorted(extra):
+            hint = difflib.get_close_matches(k, known | _COMMON_KEYS, n=1)
+            raise ValueError(
+                f"unknown option {k!r} for module {name!r}"
+                + (f" (did you mean {hint[0]!r}?)" if hint else ""))
+    # … then missing required options fail at compile with the field
+    # named, not later as a KeyError/TypeError inside dataframe()
+    missing = required - set(cfg)
+    if missing:
         raise ValueError(
-            f"unknown option {k!r} for module {name!r}"
-            + (f" (did you mean {hint[0]!r}?)" if hint else ""))
+            f"module {name!r} missing required option(s): "
+            + ", ".join(repr(k) for k in sorted(missing)))
 
 INPUTS = {
     "input.Tokens": _in_tokens,

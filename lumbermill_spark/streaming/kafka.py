@@ -53,9 +53,19 @@ def kafka_write_options(
 
 
 def _require_connector(spark: SparkSession) -> None:
+    cls = "org.apache.spark.sql.kafka010.KafkaSourceProvider"
     try:
-        spark._jvm.java.lang.Class.forName(
-            "org.apache.spark.sql.kafka010.KafkaSourceProvider")
+        # Utils.classForName resolves against Spark's context
+        # classloader, which sees jars added via spark.jars.packages
+        # (they live in MutableURLClassLoader, invisible to the system
+        # classloader that single-arg Class.forName consults).
+        spark._jvm.org.apache.spark.util.Utils.classForName(
+            cls, False, False)
+        return
+    except Exception:  # noqa: BLE001 — fall through to the system probe
+        pass
+    try:
+        spark._jvm.java.lang.Class.forName(cls)
     except Exception as exc:  # noqa: BLE001
         raise RuntimeError(
             "spark-sql-kafka connector jar not on the classpath; add "

@@ -154,6 +154,14 @@ def srp_signature(
     return df.withColumn(out_col, sig)
 
 
+#: Hard ceiling on the quantizer size ``ivf_assign`` will collect to the
+#: driver. 64k centroids × dim 1024 float64 ≈ 512 MB worst case — the
+#: outer bound of what a driver-side broadcast matrix should ever be.
+#: Larger quantizers need a distributed coarse assignment (SRP-prefilter
+#: the centroids, then a bucket equi-join), not a bigger collect.
+IVF_CENTROID_CAP = 65536
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,
@@ -163,22 +171,32 @@ def ivf_assign(
     centroid_vec_col: str | None = None,
     n: int = 1,
     out_col: str = "cell",
+    centroid_cap: int = IVF_CENTROID_CAP,
 ) -> DataFrame:
     """Assign each vector to its ``n`` nearest centroids by cosine
     (ties broken by centroid id) — the IVF coarse quantizer.
 
-    Centroids are collected to the driver (they are few by design) and
-    the assignment is one vectorized Arrow matmul per batch against the
-    broadcast centroid matrix — the corpus never shuffles. n=1 builds
-    the index (one cell per vector); n=nprobe>1 expands queries to
-    their probe list. Output: input columns + ``out_col`` (exploded —
-    one row per assigned cell).
+    Centroids are collected to the driver (their count is CAPPED at
+    ``centroid_cap`` — the collect fetches at most cap+1 rows and
+    raises if the quantizer exceeds it, so driver memory is bounded no
+    matter the corpus size) and the assignment is one vectorized Arrow
+    matmul per batch against the broadcast centroid matrix — the corpus
+    never shuffles. n=1 builds the index (one cell per vector);
+    n=nprobe>1 expands queries to their probe list. Output: input
+    columns + ``out_col`` (exploded — one row per assigned cell).
     """
     import numpy as np
 
     cvec = centroid_vec_col or vec_col
     rows = [(r[centroid_id_col], r[cvec])
-            for r in centroids.select(centroid_id_col, cvec).collect()]
+            for r in centroids.select(centroid_id_col, cvec)
+            .limit(centroid_cap + 1).collect()]
+    if len(rows) > centroid_cap:
+        raise ValueError(
+            f"IVF quantizer exceeds centroid_cap={centroid_cap}; "
+            "use a fixed num_centroids sample (ivf_topk) or a "
+            "distributed coarse assignment instead of growing the "
+            "driver-side centroid matrix")
     rows.sort(key=lambda r: r[0])
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
@@ -208,7 +226,7 @@ def ivf_topk(
     queries: DataFrame,
     k: int = 10,
     nprobe: int = 3,
-    centroid_stride: int = 64,
+    num_centroids: int = 256,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
@@ -216,19 +234,36 @@ def ivf_topk(
     """IVF approximate top-k: the second ANN scale path next to
     multi-table SRP-LSH.
 
-    Single-pass IVF with deterministic centroids: every
-    ``centroid_stride``-th corpus vector is a centroid (no iterative
-    k-means — deterministic, oracle-replayable, and at corpus scale the
-    sample is as good a coarse quantizer as one Lloyd round). Corpus
-    vectors land in exactly one cell; queries probe their ``nprobe``
-    nearest cells; exact cosine top-k within the probed union. The
-    cell equi-join is shuffle-partitionable on ~N/stride keys and the
-    corpus is scanned once — O(N·nprobe/stride) scored pairs per query
+    Single-pass IVF with a FIXED-SIZE deterministic centroid sample:
+    the ``num_centroids`` corpus rows with the smallest
+    ``md5(cast(id as string))`` (a uniform pseudo-random sample that
+    any engine can replay — DuckDB: ``ORDER BY md5(CAST(id AS
+    VARCHAR)) LIMIT C``). No iterative k-means: deterministic,
+    oracle-replayable, and at corpus scale a uniform sample is as good
+    a coarse quantizer as one Lloyd round. Unlike a stride-based rule,
+    the quantizer size is INDEPENDENT of corpus rows — the driver-side
+    centroid matrix stays ``num_centroids × dim`` whether the corpus is
+    1e4 or 1e12 vectors, and ``ivf_assign`` asserts the cap before
+    collecting. The selection itself is a per-partition top-C merge
+    (Spark plans orderBy+limit as TakeOrderedAndProject) — one scan,
+    no full shuffle, driver holds C rows.
+
+    Corpus vectors land in exactly one cell; queries probe their
+    ``nprobe`` nearest cells; exact cosine top-k within the probed
+    union. The cell equi-join is shuffle-partitionable on C keys and
+    the corpus is scanned once — O(N·nprobe/C) scored pairs per query
     instead of O(N).
     Output: (query_id, neighbor_id, cos, rank).
     """
-    cents = corpus.filter(F.pmod(F.col(id_col), F.lit(centroid_stride)) == 0) \
-        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col))
+    if not (0 < num_centroids <= IVF_CENTROID_CAP):
+        raise ValueError(
+            f"num_centroids must be in (0, {IVF_CENTROID_CAP}]")
+    cents = (
+        corpus.select(F.col(id_col).alias("centroid_id"), F.col(vec_col))
+        .orderBy(F.md5(F.col("centroid_id").cast("string").cast("binary")),
+                 F.col("centroid_id"))
+        .limit(num_centroids)
+    )
     c = ivf_assign(
         corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("_cv")),

@@ -111,6 +111,24 @@ def test_collectd_roundtrip(spark):
     assert rows["d2"]["time"] is None
 
 
+def test_collectd_truncated_parts_skipped_not_fatal(spark):
+    # struct.error paths (not ValueError): a TYPE_TIME part whose plen
+    # claims an 8-byte body but is truncated, and a VALUES body shorter
+    # than 2 bytes — both must drop the packet, never fail the job
+    # (reference Collectd.py decodeEvent catches all and skips)
+    from lumbermill_spark.operators import collectd as cd
+
+    bad_time = cd._HDR.pack(cd.TYPE_TIME, 12) + b"\x00\x00"
+    bad_vals = cd._HDR.pack(cd.TYPE_VALUES, 5) + b"\x01"
+    ok = cd.encode_packet("h", "p", [(cd.DS_GAUGE, 1.0)])
+    df = spark.createDataFrame(
+        [("t", bytearray(bad_time)), ("v", bytearray(bad_vals)),
+         ("ok", bytearray(ok))],
+        "doc_id string, payload binary")
+    rows = {r["doc_id"] for r in cd.parse_collectd(df).collect()}
+    assert rows == {"ok"}
+
+
 def test_collectd_multi_values_parts(spark):
     # two VALUES parts in ONE packet -> two rows (documented divergence
     # from the reference's last-wins event.update)

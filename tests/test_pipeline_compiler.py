@@ -56,6 +56,25 @@ def test_field_action_option_validated(spark):
         ])
 
 
+def test_missing_required_option_fails_at_compile(spark):
+    # ADVICE r2: a misc.SetInternal without 'key' used to die later with
+    # a bare KeyError inside dataframe(); _wrap'ed modules missing a
+    # required param used to surface as TypeError from the builder.
+    # Both must fail at compile naming the field.
+    with pytest.raises(ValueError,
+                       match="misc.SetInternal.*missing required.*'key'"):
+        compile_pipeline(spark, [{"misc.SetInternal": {"value": "x"}}])
+    with pytest.raises(ValueError,
+                       match="parser.Csv.*missing required.*'fieldnames'"):
+        compile_pipeline(spark, [{"parser.Csv": {"source_field": "x"}}])
+    with pytest.raises(ValueError,
+                       match="parser.Regex.*'field_extraction_patterns'"):
+        compile_pipeline(spark, [{"parser.Regex": {}}])
+    with pytest.raises(ValueError,
+                       match="modifier.Field.*missing required"):
+        compile_pipeline(spark, [{"modifier.Field": {"action": "rename"}}])
+
+
 def test_sink_and_input_options_validated(spark):
     with pytest.raises(ValueError, match="unknown option 'filtr'"):
         compile_pipeline(spark, [{"output.Parquet": {"filtr": "x"}}])

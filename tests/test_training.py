@@ -235,7 +235,7 @@ def test_ann_multi_table_recall(spark):
 def test_ivf_topk(spark):
     emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 10)
-    out = similarity.ivf_topk(emb, q, k=5, nprobe=3, centroid_stride=64)
+    out = similarity.ivf_topk(emb, q, k=5, nprobe=3, num_centroids=8)
     rows = out.collect()
     by_q = {}
     for r in rows:
@@ -247,17 +247,52 @@ def test_ivf_topk(spark):
         assert all(r["neighbor_id"] != qid for r in rs)
     # determinism
     again = similarity.ivf_topk(emb, q, k=5, nprobe=3,
-                                centroid_stride=64).collect()
+                                num_centroids=8).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
-    # probing more cells can only improve candidate quality: nprobe
-    # covering ALL cells must equal exact top-k
-    n_cells = emb.filter(F.col("vec_id") % 64 == 0).count()
-    full = similarity.ivf_topk(emb, q, k=5, nprobe=n_cells,
-                               centroid_stride=64)
+    # probing ALL cells must equal exact top-k
+    full = similarity.ivf_topk(emb, q, k=5, nprobe=8, num_centroids=8)
     exact = similarity.cosine_topk(emb, q, k=5)
     got = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
     truth = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     assert got == truth
+
+
+def test_ivf_centroids_independent_of_corpus_size(spark):
+    """The quantizer size must NOT scale with corpus rows (round-2
+    scale-killer: stride-based centroids grew linearly and were
+    collected to the driver)."""
+    from pyspark.sql import functions as SF
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    small = emb.filter(SF.col("vec_id") < 100)
+    for corpus in (small, emb):  # 100 rows vs 500 rows
+        cents = (
+            corpus.select(SF.col("vec_id").alias("centroid_id"),
+                          "embedding")
+            .orderBy(SF.md5(SF.col("centroid_id").cast("string")
+                            .cast("binary")),
+                     SF.col("centroid_id"))
+            .limit(16)
+        )
+        assert cents.count() == 16
+    # and both corpus sizes produce a working nprobe query
+    q = emb.filter(SF.col("vec_id") < 3)
+    out = similarity.ivf_topk(emb, q, k=3, nprobe=2, num_centroids=16)
+    assert out.count() > 0
+
+
+def test_ivf_assign_enforces_centroid_cap(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = emb.select(F.col("vec_id").alias("centroid_id"), "embedding")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="centroid_cap"):
+        similarity.ivf_assign(
+            emb.select(F.col("vec_id").alias("neighbor_id"),
+                       F.col("embedding").alias("_cv")),
+            cents, vec_col="_cv", centroid_vec_col="embedding",
+            n=1, centroid_cap=100).collect()
+    with _pytest.raises(ValueError, match="num_centroids"):
+        similarity.ivf_topk(emb, emb.limit(1), num_centroids=0)
 
 
 def test_connected_components_and_keep_set(spark):
