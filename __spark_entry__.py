@@ -914,6 +914,87 @@ def _q52_repetition(spark, sf):
     )
 
 
+_UA_CHOICES = ["Mozilla/5.0 (X11; Linux x86_64)", "curl/8.4.0",
+               "Googlebot/2.1 (+http://www.google.com/bot.html)"]
+
+
+def _q53_grok_combined(spark, sf):
+    """Full grok vocabulary: ``%{COMBINEDAPACHELOG}`` (the composite a
+    reference user actually configs — nested COMMONAPACHELOG plus
+    referrer/agent) parsed by the expr engine over lines synthesized
+    in-query from events columns. The DuckDB twin derives every
+    expected field structurally from the same base columns (q41/q50
+    recipe — the composite regex itself uses lookaheads RE2 lacks), so
+    each extracted field is still value-checked end-to-end."""
+    ev = _t(spark, sf, "events")
+    ip = F.format_string(
+        "10.0.%d.%d", F.pmod(F.col("user_id"), F.lit(200)),
+        (F.pmod(F.col("event_id"), F.lit(250)) + 1))
+    user = F.concat(F.lit("u"), F.col("user_id").cast("string"))
+    status = F.coalesce(
+        F.element_at(
+            F.create_map(*[F.lit(x) for kv in _STATUS_BY_TYPE.items()
+                           for x in kv]),
+            F.col("event_type")),
+        F.lit("418"))
+    nbytes = F.floor(F.col("value")).cast("long")
+    referrer = F.concat(F.lit("https://ref.example/p"),
+                        F.pmod(F.col("event_id"), F.lit(7)).cast("string"))
+    agent = F.element_at(F.array(*[F.lit(u) for u in _UA_CHOICES]),
+                         (F.pmod(F.col("user_id"), F.lit(3)) + 1).cast("int"))
+    line = F.when(
+        (F.col("event_type") == "error") & (F.col("value") >= 180.0),
+        F.lit("?? corrupt frame ??"),
+    ).otherwise(F.format_string(
+        '%s - %s [01/Jan/2024:00:00:00 +0000] '
+        '"GET /api/v1/items HTTP/1.0" %s %d "%s" "%s"',
+        ip, user, status, nbytes, referrer, agent))
+    df = ev.select(line.alias("line"))
+    parser = RegexParser([{"apache": "%{COMBINEDAPACHELOG}"}],
+                         engine="expr", source_field="line")
+    parsed = parser.apply(df)
+    return parsed.groupBy("event_type", "response", "agent").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("clientip").alias("n_ips"),
+        F.count_distinct("referrer").alias("n_refs"),
+        F.sum(F.col("bytes").cast("long")).alias("sum_bytes"),
+    )
+
+
+def _oracle_grok_combined() -> str:
+    return """
+    WITH base AS (
+      SELECT event_id, user_id, event_type AS et, value,
+             (event_type = 'error' AND value >= 180.0) AS corrupt
+      FROM events
+    ), fields AS (
+      SELECT
+        CASE WHEN corrupt THEN 'Unknown' ELSE 'apache' END AS event_type,
+        CASE WHEN corrupt THEN NULL ELSE
+          CASE et WHEN 'error' THEN '500' WHEN 'purchase' THEN '402'
+               WHEN 'signup' THEN '201' WHEN 'click' THEN '204'
+               WHEN 'view' THEN '200' ELSE '418' END END AS response,
+        CASE WHEN corrupt THEN NULL ELSE
+          ['Mozilla/5.0 (X11; Linux x86_64)', 'curl/8.4.0',
+           'Googlebot/2.1 (+http://www.google.com/bot.html)'
+          ][(user_id % 3) + 1] END AS agent,
+        CASE WHEN corrupt THEN NULL ELSE
+          printf('10.0.%d.%d', user_id % 200, (event_id % 250) + 1)
+          END AS clientip,
+        CASE WHEN corrupt THEN NULL ELSE
+          'https://ref.example/p' || CAST(event_id % 7 AS VARCHAR)
+          END AS referrer,
+        CASE WHEN corrupt THEN NULL ELSE CAST(floor(value) AS BIGINT)
+          END AS bytes
+      FROM base)
+    SELECT event_type, response, agent, count(*) AS n_rows,
+           count(DISTINCT clientip) AS n_ips,
+           count(DISTINCT referrer) AS n_refs,
+           sum(bytes) AS sum_bytes
+    FROM fields GROUP BY 1, 2, 3
+    """
+
+
 def _q50_collectd(spark, sf):
     """parser.Collectd: binary protocol packets (synthesized per event)
     decoded 1→N; per-plugin metric aggregates."""
@@ -1000,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_collectd": _q50_collectd,
         "q51_ann_ivf": _q51_ann_ivf,
         "q52_repetition": _q52_repetition,
+        "q53_grok_combined": _q53_grok_combined,
     }
 
 
@@ -1626,6 +1708,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1
         """,
         "q51_ann_ivf": _oracle_ann_ivf(),
+        "q53_grok_combined": _oracle_grok_combined(),
         "q52_repetition": r"""
             WITH b AS (
               SELECT doc_id,

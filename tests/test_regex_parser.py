@@ -185,3 +185,115 @@ def test_null_source_preserves_prior_event_type(spark):
         out2 = RegexParser(rules, source_field="data",
                            engine=engine).apply(df2).first()
         assert out2["event_type"] == "Unknown", engine
+
+
+# ------------------------------------------------------------------ #
+# full grok vocabulary (reference assets/grok_patterns: grok-patterns +
+# firewalls + haproxy; fixture line from tests/parser/TestRegex.py:11)
+
+GROK_FIXTURES = {
+    "COMMONAPACHELOG":
+        '192.168.2.20 - - [28/Jul/2006:10:27:10 -0300] '
+        '"GET /cgi-bin/try/ HTTP/1.0" 200 3395',
+    "COMBINEDAPACHELOG":
+        '192.168.2.20 - frank [28/Jul/2006:10:27:10 -0300] '
+        '"GET /cgi-bin/try/ HTTP/1.0" 200 3395 '
+        '"http://ref.example/x" "Mozilla/5.0 (X11; Linux)"',
+    "SYSLOGLINE":
+        "Feb 21 13:00:01 myhost sshd[1234]: Accepted password for root",
+    "HAPROXYHTTP":
+        'Feb  6 12:14:14 localhost haproxy[14389]: 10.0.1.2:33317 '
+        '[06/Feb/2009:12:14:14.655] http-in static/srv1 10/0/30/69/109 '
+        '200 2750 - - ---- 1/1/1/1/0 0/0 {1wt.eu} {} '
+        '"GET /index.html HTTP/1.1"',
+    "HAPROXYTCP":
+        'Feb  6 12:12:56 localhost haproxy[14387]: 10.0.1.2:33313 '
+        '[06/Feb/2009:12:12:51.443] fnt bck/srv1 0/0/5007 212 -- '
+        '0/0/0/0/3 0/0',
+    "CISCOFW106001":
+        'Inbound TCP connection denied from 10.1.1.1/53770 to '
+        '192.168.1.1/80 flags SYN on interface outside',
+    "CISCOFW106023":
+        'Deny tcp src dmz:10.1.2.30/63016 dst outside:192.0.0.8/53 '
+        'by access-group "acl_dmz" [0xe3aab522, 0x0]',
+    "CISCOFW106100":
+        'access-list inside-out permitted tcp inside/10.1.1.1(1234) -> '
+        'outside/8.8.8.8(53) hit-cnt 1 first hit [0x62c4905, 0x0]',
+    "CISCOFW302013_302014_302015_302016":
+        'Built inbound TCP connection 11757 for '
+        'outside:100.66.98.44/56256 (100.66.98.44/56256) to '
+        'inside:172.31.98.44/443 (172.31.98.44/443)',
+    "CISCO_TAGGED_SYSLOG":
+        '<164>Jun 21 2016 14:02:19 FW01 : %ASA-4-106023: Deny tcp ...',
+    "NETSCREENSESSIONLOG":
+        'Jun  2 14:53:31 fire00 aka1: NetScreen device_id=aka1 '
+        '[Root]system-notification-00257(traffic): '
+        'start_time="2006-06-02 14:53:30" duration=0 policy_id=120 '
+        'service=udp/port:17210 proto=17 src zone=Trust dst zone=DMZ '
+        'action=Deny sent=0 rcvd=0 src=192.168.2.2 dst=1.2.3.4 '
+        'src_port=53 dst_port=17210',
+    "HTTPD20_ERRORLOG":
+        '[Mon Dec 26 16:15:55 2005] [error] [client 1.2.3.4] '
+        'File does not exist: /var/www/html/favicon.ico',
+    "HTTPD24_ERRORLOG":
+        '[Thu Jun 09 06:07:05 2016] [core:notice] [pid 12812:tid 8735] '
+        '[client 10.1.2.3:512] AH00094: Command line: /usr/sbin/apachectl',
+}
+
+
+def test_grok_vocabulary_expands_and_compiles():
+    import re as _re
+
+    from lumbermill_spark.functions.grok import (BUILTIN_PATTERNS,
+                                                 expand_grok)
+
+    assert len(BUILTIN_PATTERNS) >= 100  # full logstash-scale vocabulary
+    for name in BUILTIN_PATTERNS:
+        for style in ("python", "plain"):
+            expanded = expand_grok("%%{%s:x}" % name,
+                                   named_group_style=style)
+            assert "%{" not in expanded, f"{name}: unresolved macro"
+            _re.compile(expanded)
+
+
+def test_grok_fixture_lines_match():
+    import re as _re
+
+    from lumbermill_spark.functions.grok import expand_grok
+
+    for name, line in GROK_FIXTURES.items():
+        pat = expand_grok("%%{%s}" % name)
+        assert _re.search(pat, line), f"{name} failed on fixture"
+
+
+def test_grok_combined_apachelog_fields():
+    import re as _re
+
+    from lumbermill_spark.functions.grok import expand_grok
+
+    m = _re.search(expand_grok("%{COMBINEDAPACHELOG}"),
+                   GROK_FIXTURES["COMBINEDAPACHELOG"])
+    d = m.groupdict()
+    assert d["clientip"] == "192.168.2.20"
+    assert d["auth"] == "frank"
+    assert d["verb"] == "GET"
+    assert d["request"] == "/cgi-bin/try/"
+    assert d["response"] == "200" and d["bytes"] == "3395"
+    assert d["referrer"] == "http://ref.example/x"
+    assert d["agent"] == "Mozilla/5.0 (X11; Linux)"
+
+
+def test_grok_composites_java_safe(spark):
+    # the expr engine runs these through Java's regex (rlike /
+    # regexp_extract) — the expansion must be Java-compatible too
+    from pyspark.sql import functions as F
+
+    from lumbermill_spark.operators.regex_parser import RegexParser
+
+    for name in ("COMBINEDAPACHELOG", "SYSLOGLINE", "HAPROXYHTTP",
+                 "CISCOFW106023", "HTTPD24_ERRORLOG"):
+        df = spark.createDataFrame([(GROK_FIXTURES[name],)], "line string")
+        parser = RegexParser([{name.lower(): "%%{%s}" % name}],
+                             engine="expr", source_field="line")
+        row = parser.apply(df).first()
+        assert row["event_type"] == name.lower(), name
