@@ -76,7 +76,7 @@ def flagship_once(spark) -> dict:
         SinkSpec("web", F.col("event_type").isin(
             "httpd_access_log", "nginx_access_log")),
         SinkSpec("firewall", F.col("event_type") == "iptables_log"),
-        SinkSpec("unmatched", F.col("event_type") == "Unknown"),
+        SinkSpec("unmatched", None),
     ]
     tagged = route_tag(enriched, sinks)
     rows = tagged.groupBy("sink", "event_type", "status_class").agg(
@@ -109,7 +109,7 @@ def write_pipeline_once(spark) -> dict:
         SinkSpec("web", F.col("event_type").isin(
             "httpd_access_log", "nginx_access_log")),
         SinkSpec("firewall", F.col("event_type") == "iptables_log"),
-        SinkSpec("unmatched", F.col("event_type") == "Unknown"),
+        SinkSpec("unmatched", None),
     ]
     from lumbermill_spark.router import route_and_write_tagged
 

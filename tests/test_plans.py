@@ -124,3 +124,38 @@ def test_optimize_rule_order_skips_java_unsafe(spark):
     order_before = [r.event_type for r in parser.rules]
     parser.optimize_rule_order(df, source=df["line"])
     assert [r.event_type for r in parser.rules] == order_before
+
+
+def test_route_tag_catchall_keeps_regexes_out_of_filters(spark, tok_path):
+    """A catch-all final sink must emit NO null-drop filter: the drop
+    filter's tag CASE gets pushed below the pre-aggregate by Catalyst
+    and re-inlines every rule regex per ROW (round-2 PLANS.md plan 1
+    node (3) — ~6 rlikes/row). With the catch-all, each rule pattern
+    appears in the plan only at its legitimate sites: once for
+    _rule_idx, once per provided field."""
+    from lumbermill_spark.router import SinkSpec, route_tag
+
+    df = spark.read.parquet(tok_path)
+    rp = RegexParser(ACCESS_RULES, engine="expr")
+    parsed = rp.apply(df, tokens_col="tokens", drop_tokens=True)
+    pre = parsed.groupBy("event_type", "http_status").agg(
+        F.count(F.lit(1)).alias("n_rows"))
+    sinks = [
+        SinkSpec("web", F.col("event_type").isin(
+            "httpd_access_log", "nginx_access_log")),
+        SinkSpec("firewall", F.col("event_type") == "iptables_log"),
+        SinkSpec("unmatched", None),
+    ]
+    tagged = route_tag(pre, sinks)
+    out = tagged.groupBy("sink").agg(F.sum("n_rows").alias("n"))
+    plan = _plan(out)
+    for r in rp.rules:
+        sites = 1 + len(r.group_index)  # _rule_idx + one per field
+        assert plan.count(r.java_pattern) <= sites, r.event_type
+    # same result as the explicit unmatched-predicate + null-drop form
+    explicit = route_tag(pre, sinks[:2] + [
+        SinkSpec("unmatched", F.col("event_type") == "Unknown")])
+    a = {(x["sink"], x["n"]) for x in out.collect()}
+    b = {(x["sink"], x["n"]) for x in explicit.groupBy("sink")
+         .agg(F.sum("n_rows").alias("n")).collect()}
+    assert a == b
