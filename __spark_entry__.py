@@ -995,6 +995,43 @@ def _oracle_grok_combined() -> str:
     """
 
 
+def _q54_msgpack(spark, sf):
+    """parser.MsgPack with the bundled pure-Python spec-subset codec
+    (functions/msgpack_lite — used when the C msgpack package is
+    absent, as in this container): payload packed in-query from events
+    columns, decoded 1:1 to a JSON string; every 50th payload is
+    truncated and must decode to null (reference MsgPack.py warns and
+    keeps the event). Oracle derives the expected JSON structurally."""
+    ev = _t(spark, sf, "events").filter(F.col("event_id") < 500)
+
+    @F.pandas_udf("binary")
+    def _pack(eid: pd.Series, et: pd.Series, v: pd.Series) -> pd.Series:
+        from lumbermill_spark.functions.msgpack_lite import packb
+        out = []
+        for i, t, val in zip(eid, et, v):
+            b = packb({"id": int(i), "et": str(t), "v": int(val)})
+            out.append(b[:3] if int(i) % 50 == 0 else b)
+        return pd.Series(out)
+
+    df = ev.select(
+        "event_id",
+        _pack(F.col("event_id"), F.col("event_type"),
+              F.floor("value").cast("long")).alias("payload"))
+    out = parsers.parse_msgpack(df, "payload", target_field="decoded")
+    return out.select("event_id", "decoded")
+
+
+def _oracle_msgpack() -> str:
+    return """
+    SELECT event_id,
+      CASE WHEN event_id % 50 = 0 THEN NULL
+           ELSE printf('{"id": %d, "et": "%s", "v": %d}',
+                       event_id, event_type,
+                       CAST(floor(value) AS BIGINT)) END AS decoded
+    FROM events WHERE event_id < 500
+    """
+
+
 def _q50_collectd(spark, sf):
     """parser.Collectd: binary protocol packets (synthesized per event)
     decoded 1→N; per-plugin metric aggregates."""
@@ -1082,6 +1119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_ann_ivf": _q51_ann_ivf,
         "q52_repetition": _q52_repetition,
         "q53_grok_combined": _q53_grok_combined,
+        "q54_msgpack": _q54_msgpack,
     }
 
 
@@ -1709,6 +1747,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q51_ann_ivf": _oracle_ann_ivf(),
         "q53_grok_combined": _oracle_grok_combined(),
+        "q54_msgpack": _oracle_msgpack(),
         "q52_repetition": r"""
             WITH b AS (
               SELECT doc_id,

@@ -140,6 +140,16 @@ def main() -> None:
             t0 = time.time()
             fn(spark, sf_dir).collect()
             query_secs[name] = round(time.time() - t0, 3)
+        # q21 deliberately benches the md5-basis oracle variant (DuckDB
+        # can replay that hash); the PRODUCTION default is xxhash64 —
+        # time it too so the published number reflects the fast plan.
+        # Bench-only: identical operator, different token hash, so the
+        # oracle contract stays with q21.
+        from lumbermill_spark.training import dedup as _dedup
+        docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+        t0 = time.time()
+        _dedup.simhash_pairs(docs, max_hamming=3, bits=64).collect()
+        query_secs["q21b_simhash_fast"] = round(time.time() - t0, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {

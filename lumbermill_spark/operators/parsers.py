@@ -332,25 +332,30 @@ def inflate(df: DataFrame, source_field: str,
 def parse_msgpack(df: DataFrame, source_field: str,
                   target_field: str | None = None) -> DataFrame:
     """parser.MsgPack (/root/reference/lumbermill/parser/MsgPack.py:89-134).
-    Decodes to a JSON string column (schemaless payload); gated on the
-    msgpack package being importable."""
-    try:
-        import msgpack  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - env without msgpack
-        raise NotImplementedError(
-            "msgpack not installed in this environment") from exc
-
+    Decodes to a JSON string column (schemaless payload). Uses the
+    C-backed msgpack package when importable, else the bundled
+    pure-Python spec-subset codec (functions/msgpack_lite) — either
+    way undecodable payloads yield null, matching the reference's
+    warn-and-keep behavior."""
     tgt = target_field or source_field
 
     @F.pandas_udf("string")
     def _unpack(s: pd.Series) -> pd.Series:
-        import msgpack as mp
+        try:
+            from msgpack import unpackb as _raw_unpackb
+
+            def _unpackb(b):
+                return _raw_unpackb(b, raw=False)
+        except ImportError:
+            from lumbermill_spark.functions.msgpack_lite import (
+                unpackb as _unpackb,
+            )
 
         def one(v):
             if v is None:
                 return None
             try:
-                return _json.dumps(mp.unpackb(bytes(v), raw=False))
+                return _json.dumps(_unpackb(bytes(v)))
             except Exception:
                 return None
         return s.map(one)

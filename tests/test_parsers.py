@@ -153,3 +153,59 @@ def test_recode_charset(spark):
     df = spark.createDataFrame([("héllo".encode("latin-1"),)], "raw binary")
     out = P.recode_charset(df, "raw", "latin-1", "utf-8", target_field="utf8")
     assert bytes(out.first()["utf8"]).decode("utf-8") == "héllo"
+
+
+def test_msgpack_lite_roundtrip():
+    from lumbermill_spark.functions import msgpack_lite as ml
+
+    cases = [
+        None, True, False, 0, 1, 127, 128, 255, 256, 65535, 65536,
+        2**32 - 1, 2**32, 2**63 - 1, -1, -32, -33, -128, -129, -32768,
+        -32769, -2**31, -2**63, 3.14159, -0.5, "", "hello", "日本語",
+        "x" * 40, "y" * 300, b"", b"\x00\xff\x10", [1, "a", None, [2, 3]],
+        {"k": 1, "nested": {"a": [True, 2.5]}, "s": "v"},
+        list(range(20)), {str(i): i for i in range(20)},
+    ]
+    for c in cases:
+        got = ml.unpackb(ml.packb(c))
+        assert got == c, c
+    # spec-level cross-check against the C package when present
+    try:
+        import msgpack as mp
+    except ImportError:
+        mp = None
+    if mp is not None:
+        for c in cases:
+            assert mp.unpackb(ml.packb(c), raw=False, strict_map_key=False) == c
+            assert ml.unpackb(mp.packb(c)) == c
+
+
+def test_msgpack_lite_malformed():
+    import pytest as _pytest
+
+    from lumbermill_spark.functions import msgpack_lite as ml
+
+    good = ml.packb({"a": [1, 2, 3], "b": "xyz"})
+    for bad in (b"", good[:3], good[:-1], good + b"\x01",
+                b"\xc7\x01\x00\x00"):  # ext8: unsupported
+        with _pytest.raises(ValueError):
+            ml.unpackb(bad)
+
+
+def test_parse_msgpack_fallback_decoder(spark):
+    from lumbermill_spark.functions.msgpack_lite import packb
+    from lumbermill_spark.operators.parsers import parse_msgpack
+
+    rows = [
+        ("a", bytearray(packb({"k": 1, "v": [1.5, "s"]}))),
+        ("b", bytearray(packb("plain string"))),
+        ("c", bytearray(b"\xc1")),  # reserved byte: undecodable -> null
+        ("d", None),
+    ]
+    df = spark.createDataFrame(rows, "id string, payload binary")
+    out = {r["id"]: r["decoded"]
+           for r in parse_msgpack(df, "payload",
+                                  target_field="decoded").collect()}
+    assert out["a"] == '{"k": 1, "v": [1.5, "s"]}'
+    assert out["b"] == '"plain string"'
+    assert out["c"] is None and out["d"] is None
