@@ -29,7 +29,7 @@ from lumbermill_spark.operators.lookup import enrich
 from lumbermill_spark.operators.parsers import RFC5424_FACILITIES, RFC5424_SEVERITIES
 from lumbermill_spark.operators.regex_parser import RegexParser
 from lumbermill_spark.router import SinkSpec, route
-from lumbermill_spark.training import dedup, similarity, textstats
+from lumbermill_spark.training import dedup, multimodal, similarity, textstats
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1032,6 +1032,49 @@ def _oracle_msgpack() -> str:
     """
 
 
+def _q55_image_decode(spark, sf):
+    """Multimodal image decode as a first-class oracle-checked op:
+    grayscale PNGs synthesized in-query from events columns (the
+    bundled pure-stdlib codec, functions/png_lite), decoded by
+    decode_images(codec='real') — Pillow when present, png_lite
+    otherwise; both yield identical dims/channels/luma. The DuckDB
+    twin derives the expected features structurally (q41/q50 recipe:
+    PNG itself is not SQL-expressible, the field values still
+    hash-check)."""
+    ev = _t(spark, sf, "events").filter(F.col("event_id") < 200)
+
+    @F.pandas_udf("binary")
+    def _img(eid: pd.Series, uid: pd.Series, v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from lumbermill_spark.functions.png_lite import encode_png
+        out = []
+        for i, u, val in zip(eid, uid, v):
+            w, h = int(i) % 16 + 1, int(u) % 8 + 1
+            fill = int(val) % 256
+            out.append(encode_png(np.full((h, w), fill, dtype=np.uint8)))
+        return pd.Series(out)
+
+    media = ev.select(
+        F.col("event_id").cast("string").alias("media_id"),
+        _img(F.col("event_id"), F.col("user_id"),
+             F.floor("value").cast("long")).alias("payload"))
+    feats = multimodal.decode_images(media, codec="real")
+    return feats.select("media_id", "width", "height", "channels",
+                        "mean_luma")
+
+
+def _oracle_image_decode() -> str:
+    return """
+    SELECT CAST(event_id AS VARCHAR) AS media_id,
+      CAST(event_id % 16 + 1 AS INTEGER) AS width,
+      CAST(user_id % 8 + 1 AS INTEGER) AS height,
+      CAST(1 AS INTEGER) AS channels,
+      round((CAST(floor(value) AS BIGINT) % 256) / 255.0, 6) AS mean_luma
+    FROM events WHERE event_id < 200
+    """
+
+
 def _q50_collectd(spark, sf):
     """parser.Collectd: binary protocol packets (synthesized per event)
     decoded 1→N; per-plugin metric aggregates."""
@@ -1120,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_repetition": _q52_repetition,
         "q53_grok_combined": _q53_grok_combined,
         "q54_msgpack": _q54_msgpack,
+        "q55_image_decode": _q55_image_decode,
     }
 
 
@@ -1748,6 +1792,7 @@ def oracle_sql() -> dict[str, str]:
         "q51_ann_ivf": _oracle_ann_ivf(),
         "q53_grok_combined": _oracle_grok_combined(),
         "q54_msgpack": _oracle_msgpack(),
+        "q55_image_decode": _oracle_image_decode(),
         "q52_repetition": r"""
             WITH b AS (
               SELECT doc_id,

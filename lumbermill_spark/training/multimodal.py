@@ -2,12 +2,14 @@
 columns with typed metadata.
 
 The Spark-side contract is real and tested — schema, Arrow batch shape,
-mapInPandas partitioning, metadata propagation. The codec step itself is
-STUBBED: the runtime here has no image/audio libraries, so ``decode``
-either raises NotImplementedError (``codec='real'``) or produces a
-deterministic fake derived from the payload bytes (``codec='fake'``,
-used by tests and benchmarks). Swapping in PIL/libsndfile later touches
-only ``_decode_fake`` → a real decoder; every plan stays identical.
+mapInPandas partitioning, metadata propagation. IMAGE decode and resize
+are REAL: Pillow when importable, else the bundled pure-stdlib PNG
+codec (functions/png_lite — 8-bit gray/RGB/RGBA, all row filters), so
+``codec='real'`` executes even in this library-free container for PNG
+payloads. Only VIDEO frame-sampling remains a stub (no container codec
+and no stdlib fallback exists for H.264 et al.); ``codec='fake'``
+stays as the deterministic payload-hash pseudo-codec for tests and
+benchmarks over non-image payloads.
 
 Design notes for 100 TB of media:
 - binary payloads ride in parquet/Iceberg BINARY columns; Spark never
@@ -88,19 +90,19 @@ def decode_images(df: DataFrame, codec: str = "real") -> DataFrame:
         raise ValueError("codec must be 'real' or 'fake'")
 
     def _decode_real(payload: bytes) -> tuple[int, int, int, float]:
-        # import-guarded: Pillow is an optional extra. Where it exists
-        # codec='real' decodes actual image bytes inside the same
-        # mapInPandas plan; in this runtime the guard raises and tests
-        # exercise it conditionally.
+        # Pillow when importable (any format it knows); else the
+        # bundled pure-stdlib PNG codec — real decode either way.
         import io
 
         try:
             from PIL import Image
-        except ImportError as exc:
-            raise NotImplementedError(
-                "no image codec in this runtime (pip install pillow), "
-                "use codec='fake' for the deterministic test codec"
-            ) from exc
+        except ImportError:
+            from lumbermill_spark.functions import png_lite
+
+            arr = png_lite.decode_png(payload)  # ValueError if not PNG
+            channels = 1 if arr.ndim == 2 else arr.shape[2]
+            return (arr.shape[1], arr.shape[0], channels,
+                    round(png_lite.mean_luma(arr), 6))
         img = Image.open(io.BytesIO(payload))
         channels = len(img.getbands())
         gray = img.convert("L")
@@ -123,29 +125,57 @@ def decode_images(df: DataFrame, codec: str = "real") -> DataFrame:
     return df.mapInPandas(run, IMAGE_FEATURES)
 
 
-def resize_stub(df: DataFrame, width: int, height: int,
-                codec: str = "real") -> DataFrame:
-    """Resize plumbing: binary in → binary out, same partitioning.
-    Fake codec passes the payload through and annotates target dims."""
+def resize(df: DataFrame, width: int, height: int,
+           codec: str = "real") -> DataFrame:
+    """Image resize: binary in → binary out, same partitioning.
+
+    codec='real': Pillow when importable (nearest-neighbor for
+    determinism, re-encoded as PNG), else the bundled PNG codec with
+    the same nearest kernel — a genuinely resized payload either way.
+    codec='fake' passes the payload through and annotates target dims
+    (for non-image payload plumbing tests)."""
     out_schema = T.StructType([
         T.StructField("media_id", T.StringType()),
         T.StructField("payload", T.BinaryType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
     ])
+    if codec not in ("real", "fake"):
+        raise ValueError("codec must be 'real' or 'fake'")
+
+    def _resize_real(payload: bytes) -> bytes:
+        import io
+
+        try:
+            from PIL import Image
+        except ImportError:
+            from lumbermill_spark.functions import png_lite
+
+            arr = png_lite.decode_png(payload)
+            return png_lite.encode_png(
+                png_lite.resize_nearest(arr, width, height))
+        img = Image.open(io.BytesIO(payload))
+        out = io.BytesIO()
+        img.resize((width, height), Image.NEAREST).save(out, format="PNG")
+        return out.getvalue()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if codec == "real":
-                raise NotImplementedError("no image codec in this runtime")
+            payloads = (pdf["payload"]
+                        if codec == "fake"
+                        else [_resize_real(bytes(p)) for p in pdf["payload"]])
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
-                "payload": pdf["payload"],
+                "payload": payloads,
                 "width": width,
                 "height": height,
             })
 
     return df.mapInPandas(run, out_schema)
+
+
+#: Backwards-compatible alias from the rounds when resize was stubbed.
+resize_stub = resize
 
 
 def frame_sample_stub(df: DataFrame, every_n: int = 30,

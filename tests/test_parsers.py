@@ -209,3 +209,43 @@ def test_parse_msgpack_fallback_decoder(spark):
     assert out["a"] == '{"k": 1, "v": [1.5, "s"]}'
     assert out["b"] == '"plain string"'
     assert out["c"] is None and out["d"] is None
+
+
+def test_png_lite_roundtrip_and_filters():
+    import numpy as np
+    import pytest as _pytest
+
+    from lumbermill_spark.functions import png_lite as pl
+
+    rng = np.random.default_rng(7)
+    for shape in ((5, 7), (6, 4, 3), (3, 3, 4)):
+        arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        assert np.array_equal(pl.decode_png(pl.encode_png(arr)), arr)
+    # hand-built Sub/Up/Average/Paeth rows must reconstruct correctly
+    import struct
+    import zlib
+    w, h = 4, 5
+    truth = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    rows = []
+    prev = np.zeros(w * 3, dtype=np.int32)
+    for y, filt in enumerate([0, 1, 2, 3, 4]):
+        cur = truth[y].reshape(-1).astype(np.int32)
+        enc = np.zeros(w * 3, dtype=np.int32)
+        for x in range(w * 3):
+            a = cur[x - 3] if x >= 3 else 0
+            b = prev[x]
+            c = prev[x - 3] if x >= 3 else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2,
+                    4: pl._paeth(int(a), int(b), int(c))}[filt]
+            enc[x] = (cur[x] - pred) & 0xFF
+        rows.append(bytes([filt]) + enc.astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + pl._chunk(b"IHDR", ihdr)
+           + pl._chunk(b"IDAT", zlib.compress(b"".join(rows)))
+           + pl._chunk(b"IEND", b""))
+    assert np.array_equal(pl.decode_png(png), truth)
+    good = pl.encode_png(truth)
+    for bad in (b"", b"notapng", good[:len(good) // 2]):
+        with _pytest.raises(ValueError):
+            pl.decode_png(bad)

@@ -198,28 +198,47 @@ def test_kafka_source_fails_fast_without_jar(spark):
 # ------------------------------------------------------------------ #
 # multimodal real codec (conditional on Pillow)
 
-def test_decode_images_real_codec_guard(spark):
+def test_decode_images_real_codec_runs(spark):
+    # real codec must execute in ANY runtime: Pillow when present, the
+    # bundled pure-stdlib PNG codec otherwise (stub is video-only now)
+    import numpy as np
+
+    from lumbermill_spark.functions import png_lite
     from lumbermill_spark.training import multimodal
 
-    media = multimodal.synth_media(spark, 3)
-    try:
-        import PIL  # noqa: F401
-        have_pil = True
-    except ImportError:
-        have_pil = False
-    if have_pil:  # pragma: no cover - not in this container
-        import io
+    rgb = np.zeros((6, 8, 3), dtype=np.uint8)
+    rgb[:, :, 0] = 255                        # pure red
+    gray = np.full((4, 5), 128, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [("m-rgb", bytearray(png_lite.encode_png(rgb))),
+         ("m-gray", bytearray(png_lite.encode_png(gray)))],
+        "media_id string, payload binary")
+    rows = {r["media_id"]: r
+            for r in multimodal.decode_images(df, codec="real").collect()}
+    r = rows["m-rgb"]
+    assert (r["width"], r["height"], r["channels"]) == (8, 6, 3)
+    assert abs(r["mean_luma"] - 0.299) < 2 / 255  # ITU-R 601-2 red luma
+    g = rows["m-gray"]
+    assert (g["width"], g["height"], g["channels"]) == (5, 4, 1)
+    assert abs(g["mean_luma"] - 128 / 255) < 1e-6
+    # non-image payloads still fail loudly, not silently
+    media = multimodal.synth_media(spark, 2)
+    with pytest.raises(Exception,
+                       match="not a PNG|cannot identify|image"):
+        multimodal.decode_images(media, codec="real").collect()
 
-        from PIL import Image
 
-        import pandas as pd
+def test_resize_real_codec(spark):
+    import numpy as np
 
-        buf = io.BytesIO()
-        Image.new("RGB", (8, 6)).save(buf, format="PNG")
-        df = spark.createDataFrame(
-            [("m-1", bytearray(buf.getvalue()))], "media_id string, payload binary")
-        row = multimodal.decode_images(df, codec="real").first()
-        assert (row["width"], row["height"], row["channels"]) == (8, 6, 3)
-    else:
-        with pytest.raises(Exception, match="no image codec"):
-            multimodal.decode_images(media, codec="real").collect()
+    from lumbermill_spark.functions import png_lite
+    from lumbermill_spark.training import multimodal
+
+    arr = np.arange(12 * 10 * 3, dtype=np.uint8).reshape(12, 10, 3)
+    df = spark.createDataFrame(
+        [("m-1", bytearray(png_lite.encode_png(arr)))],
+        "media_id string, payload binary")
+    out = multimodal.resize(df, 5, 6, codec="real").first()
+    assert (out["width"], out["height"]) == (5, 6)
+    back = png_lite.decode_png(bytes(out["payload"]))
+    assert back.shape == (6, 5, 3)

@@ -175,7 +175,8 @@ def test_multimodal_decode_and_frames(spark):
     # determinism
     again = multimodal.decode_images(media, codec="fake").collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
-    with pytest.raises(Exception, match="NotImplementedError|no image codec"):
+    with pytest.raises(Exception, match="not a PNG|cannot identify|image"):
+        # synth payloads are hash bytes, not images: real codec rejects
         multimodal.decode_images(media, codec="real").collect()
     frames = multimodal.frame_sample_stub(media.limit(5), codec="fake")
     fr = frames.collect()
