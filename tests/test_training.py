@@ -327,3 +327,17 @@ def test_repetition_stats(spark):
     assert got[3]["uniq_bigram_ratio"] == pytest.approx(2 / 5)
     assert got[4]["uniq_word_ratio"] == 0.0
     assert got[4]["top_word_frac"] == 0.0
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 64-node path has diameter 63: plain one-hop propagation needs 63
+    # rounds (> max_iterations=20 — round 2 silently returned unconverged
+    # labels here); pointer-doubling must converge within the default
+    # budget, and non-convergence must now raise instead of lying
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long")
+    comp = {r["id"]: r["component"]
+            for r in dedup.connected_components(pairs).collect()}
+    assert comp == {i: 0 for i in range(64)}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, compress=False, max_iterations=5)
