@@ -1075,6 +1075,63 @@ def _oracle_image_decode() -> str:
     """
 
 
+def _q56_surprisal(spark, sf):
+    """Mean unigram surprisal per doc (corpus-MLE -log2 p(word)) — the
+    cheap LM-quality proxy for curation; gibberish scores high."""
+    docs = _t(spark, sf, "documents")
+    return textstats.unigram_surprisal(docs)
+
+
+def _oracle_surprisal() -> str:
+    return r"""
+    WITH wd AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents) WHERE w <> ''
+    ), tot AS (SELECT count(*) AS n FROM wd),
+    cnt AS (SELECT w, count(*) AS c FROM wd GROUP BY w)
+    SELECT doc_id, count(*) AS n_words,
+           round(avg(-log2(CAST(c AS DOUBLE) / n)), 4) AS mean_surprisal
+    FROM wd JOIN cnt USING (w) CROSS JOIN tot
+    GROUP BY doc_id
+    """
+
+
+def _q57_dup_spans(spark, sf):
+    """Duplicated-span fraction per doc: share of its distinct word
+    8-grams occurring in >= 2 docs corpus-wide (the exact-substring
+    dedup curation signal). One explode + one shuffle (window df)."""
+    docs = _t(spark, sf, "documents")
+    return dedup.dup_span_stats(docs, n=8, min_count=2)
+
+
+def _oracle_dup_spans() -> str:
+    return r"""
+    WITH sh AS (
+      SELECT doc_id,
+        list_distinct(CASE WHEN len(w) >= 8 THEN
+          list_transform(generate_series(1, len(w) - 7),
+                         i -> array_to_string(w[i:i+7], ' '))
+        ELSE [] END) AS g
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+            FROM documents)
+    ), ex AS (SELECT doc_id, unnest(g) AS s FROM sh),
+    cnt AS (SELECT doc_id, count(*) OVER (PARTITION BY s) AS gdf FROM ex),
+    agg AS (
+      SELECT doc_id, count(*) AS n_grams,
+             sum(CASE WHEN gdf >= 2 THEN 1 ELSE 0 END) AS n_dup_grams
+      FROM cnt GROUP BY doc_id)
+    SELECT d.doc_id,
+      coalesce(a.n_grams, 0) AS n_grams,
+      coalesce(a.n_dup_grams, 0) AS n_dup_grams,
+      round(CASE WHEN coalesce(a.n_grams, 0) > 0
+                 THEN CAST(a.n_dup_grams AS DOUBLE) / a.n_grams
+                 ELSE 0.0 END, 6) AS dup_fraction
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
+
 def _q50_collectd(spark, sf):
     """parser.Collectd: binary protocol packets (synthesized per event)
     decoded 1→N; per-plugin metric aggregates."""
@@ -1164,6 +1221,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_grok_combined": _q53_grok_combined,
         "q54_msgpack": _q54_msgpack,
         "q55_image_decode": _q55_image_decode,
+        "q56_surprisal": _q56_surprisal,
+        "q57_dup_spans": _q57_dup_spans,
     }
 
 
@@ -1793,6 +1852,8 @@ def oracle_sql() -> dict[str, str]:
         "q53_grok_combined": _oracle_grok_combined(),
         "q54_msgpack": _oracle_msgpack(),
         "q55_image_decode": _oracle_image_decode(),
+        "q56_surprisal": _oracle_surprisal(),
+        "q57_dup_spans": _oracle_dup_spans(),
         "q52_repetition": r"""
             WITH b AS (
               SELECT doc_id,

@@ -562,3 +562,56 @@ def simhash_pairs(
         cand.select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-span statistics: the fraction of a doc's
+    distinct word ``n``-grams that occur in at least ``min_count`` docs
+    corpus-wide — the curation signal behind exact substring dedup
+    ("Deduplicating Training Data Makes Language Models Better": long
+    verbatim spans shared across documents are boilerplate/templates
+    worth dropping or down-weighting). Doc-frequency based (per-doc
+    grams are distinct); for WITHIN-doc repetition use
+    ``textstats.repetition_stats``.
+
+    Plan: one explode, ONE shuffle (partitionBy gram for the window
+    doc-frequency count — same shape as ngram_jaccard_pairs' df guard),
+    then a map-side-combinable per-doc aggregate; docs too short for
+    any n-gram come back with 0/0/0 via the left join. No all-pairs
+    anything — linear in total grams at any corpus size.
+
+    Output: (id, n_grams, n_dup_grams, dup_fraction).
+    """
+    from pyspark.sql import Window
+
+    grams = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), n)).alias("g"),
+    )
+    w = Window.partitionBy("g")
+    per_doc = (
+        grams.select(id_col, F.count(F.lit(1)).over(w).alias("gdf"))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_grams"),
+             F.sum((F.col("gdf") >= min_count).cast("long"))
+             .alias("n_dup_grams"))
+    )
+    return (
+        df.select(id_col).join(per_doc, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+            F.round(
+                F.when(F.coalesce("n_grams", F.lit(0)) > 0,
+                       F.coalesce("n_dup_grams", F.lit(0))
+                       / F.col("n_grams")).otherwise(F.lit(0.0)),
+                6).alias("dup_fraction"),
+        )
+    )

@@ -197,3 +197,42 @@ def fingerprint(
     if normalized:
         t = F.lower(F.regexp_replace(F.trim(t), r"\s+", " "))
     return df.withColumn(out_col, F.md5(t))
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Mean unigram surprisal per document: avg(-log2 p(word)) with
+    p estimated from the corpus itself (MLE, no smoothing — every word
+    has at least its own occurrence). The cheap language-model-quality
+    proxy of training-data curation: gibberish and out-of-distribution
+    docs score high, boilerplate scores low.
+
+    Plan: one explode; corpus total is a 1-row broadcast cross join;
+    per-word counts shuffle once on word (map-side combined); per-doc
+    aggregate map-side combines. Linear at any corpus size; no word
+    list ever reaches the driver.
+
+    Output: (id, n_words, mean_surprisal).
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # total word count from the (map-side-combined) counts, not a third
+    # scan of the corpus
+    total = counts.agg(F.sum("c").alias("N"))
+    scored = (
+        words.join(counts, on="w")
+        .crossJoin(F.broadcast(total))
+        .select(id_col,
+                (-F.log2(F.col("c") / F.col("N"))).alias("s"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.round(F.avg("s"), round_to).alias("mean_surprisal"),
+    )

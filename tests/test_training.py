@@ -341,3 +341,42 @@ def test_connected_components_long_chain_converges(spark):
     assert comp == {i: 0 for i in range(64)}
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(pairs, compress=False, max_iterations=5)
+
+
+def test_dup_span_stats(spark):
+    rows = [
+        (1, "a b c d e f g h i j", "x"),        # shares 8-grams with 2
+        (2, "a b c d e f g h i j k", "x"),      # superset of 1's span
+        (3, "totally different words here no overlap at all ok", "x"),
+        (4, "short", "x"),                      # too short for any 8-gram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["doc_id"]: r for r in dedup.dup_span_stats(df, n=8).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # doc1: grams of 10 words = 3; all 3 occur in doc2 too
+    assert out[1]["n_grams"] == 3 and out[1]["n_dup_grams"] == 3
+    assert out[1]["dup_fraction"] == 1.0
+    # doc2: 4 grams, 3 shared with doc1
+    assert out[2]["n_grams"] == 4 and out[2]["n_dup_grams"] == 3
+    assert abs(out[2]["dup_fraction"] - 0.75) < 1e-9
+    assert out[3]["n_dup_grams"] == 0 and out[3]["dup_fraction"] == 0.0
+    assert out[4]["n_grams"] == 0 and out[4]["dup_fraction"] == 0.0
+
+
+def test_unigram_surprisal(spark):
+    import math as m
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textstats.unigram_surprisal(df).collect()}
+    # corpus: a x5, b x1, N=6
+    assert out[1]["n_words"] == 4
+    assert abs(out[1]["mean_surprisal"] - round(-m.log2(5 / 6), 4)) < 1e-9
+    exp2 = (-m.log2(5 / 6) - m.log2(1 / 6)) / 2
+    assert abs(out[2]["mean_surprisal"] - round(exp2, 4)) < 1e-4
+    # gibberish scores higher than common text
+    df2 = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the cat sat on the mat"),
+         (3, "zxq vbn plm wrt")], "doc_id long, text string")
+    s = {r["doc_id"]: r["mean_surprisal"]
+         for r in textstats.unigram_surprisal(df2).collect()}
+    assert s[3] > s[1]
