@@ -8,7 +8,8 @@ Stages (each a library operator; see lumbermill_spark/training/):
  2. near-dup keep-set     — MinHash-LSH pairs → connected components
  3. language filter       — stopword-vote language ID, keep target lang
  4. quality filter        — length/word/stopword score threshold
- 5. stats + fingerprints  — token counts per source, doc fingerprints
+ 5. corpus signals        — dup-span fraction, unigram surprisal,
+                            token counts, doc fingerprints
  6. routed write          — kept/dropped fan-out with per-sink metrics
 
 Everything is one lazy DataFrame chain until the final writes: Catalyst
@@ -49,7 +50,16 @@ def main() -> None:
     docs = textstats.token_counts(docs)
     docs = textstats.fingerprint(docs)
 
-    keep = (F.col("lang_pred") == "en") & (F.col("quality") >= 0.5)
+    # 5a. corpus-level curation signals joined back per doc: duplicated
+    # 8-gram span fraction (exact-substring-dedup signal) and mean
+    # unigram surprisal (LM-quality proxy; gibberish scores high)
+    spans = dedup.dup_span_stats(docs, n=8).select("doc_id", "dup_fraction")
+    surp = textstats.unigram_surprisal(docs).select(
+        "doc_id", "mean_surprisal")
+    docs = docs.join(spans, on="doc_id").join(surp, on="doc_id", how="left")
+
+    keep = ((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5)
+            & (F.col("dup_fraction") < 0.8))
     sinks = [
         SinkSpec("kept", keep, path=f"{base}/kept",
                  partition_by=["source"]),

@@ -83,14 +83,22 @@ def run_level(cores: int, rows: int, runs: int, prepare: bool = False,
     return summary
 
 
-def calibrate(n: int, n4: int, reps: int = 3) -> float:
+def calibrate(n: int, n4: int, reps: int = 5) -> float:
     """Hardware parallel-scaling ceiling of THIS box, measured with
     pure CPU-bound python processes (no Spark, no memory traffic):
     fixed work per process, n vs n4 concurrent processes. On ideal
     hardware per-process time is constant → ceiling 1.0. On this VM
-    per-core throughput drops ~1.5x from 8 to 32 active vCPUs (host
+    per-core throughput drops from 8 to 32 active vCPUs (host
     frequency/oversubscription), capping ANY perfectly-parallel
-    workload's raw N→4N efficiency at the returned value."""
+    workload's raw N→4N efficiency at the returned value.
+
+    The ceiling itself drifts with HOST load minute to minute
+    (measured 0.72-0.89 across invocations half an hour apart), so
+    each rep measures the n and n4 levels BACK-TO-BACK and the
+    reported ceiling is the median per-rep ratio — robust against
+    drift between (not within) reps, and not biased toward either
+    PASS or FAIL the way min-per-level would be."""
+    import statistics as _stats
     import sys as _sys
     import time as _time
 
@@ -105,9 +113,8 @@ def calibrate(n: int, n4: int, reps: int = 3) -> float:
         return _time.time() - t0
 
     run(2)  # warm
-    t_n = min(run(n) for _ in range(reps))
-    t_n4 = min(run(n4) for _ in range(reps))
-    return round(t_n / t_n4, 3)
+    ratios = [run(n) / run(n4) for _ in range(reps)]
+    return round(_stats.median(ratios), 3)
 
 
 def _sensitivity_md(sens: dict | None, raw_eff: float) -> str:
