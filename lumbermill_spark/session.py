@@ -44,6 +44,15 @@ def get_spark(
         .config("spark.default.parallelism", str(ncores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # default parallelismFirst=true never coalesces below default
+        # parallelism, so KB-sized shuffles still run 2x-cores-wide —
+        # at sf0.1 most doc queries were scheduler-bound on near-empty
+        # tasks. False + a small advisory size packs tiny shuffles into
+        # few tasks while big shuffles (sized by data) stay wide; this
+        # is also the Spark-docs-recommended production setting.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
