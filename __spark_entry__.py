@@ -1132,6 +1132,53 @@ def _oracle_dup_spans() -> str:
     """
 
 
+def _q58_packing(spark, sf):
+    """GPT-style sequence packing over the token table: concat (tokens
+    + EOS) ordered by doc_id, slice into 2048-token training blocks.
+    The Spark side computes offsets with the two-phase range-partition
+    scheme (no global sort); the DuckDB twin is the straightforward
+    window cumsum — identical answers, different scalability."""
+    from lumbermill_spark.training import packing
+
+    tok = _events_token_table(spark, sf)
+    return packing.pack_stats(tok, block_size=2048, id_col="doc_id")
+
+
+def _oracle_packing() -> str:
+    return r"""
+    WITH tok AS (
+      SELECT printf('doc-%012d', event_id) AS doc_id,
+        CASE WHEN event_type = 'error' AND value >= 180.0
+             THEN length('?? corrupt frame ??') + 1
+             ELSE length(printf('%s - %s [01/Jan/2024:00:00:00 +0000] "GET /api/v1/items HTTP/1.0" %s %d',
+                         printf('10.0.%d.%d', user_id % 200, (event_id % 250) + 1),
+                         'u' || CAST(user_id AS VARCHAR),
+                         CASE event_type WHEN 'error' THEN '500' WHEN 'purchase' THEN '402'
+                              WHEN 'signup' THEN '201' WHEN 'click' THEN '204'
+                              WHEN 'view' THEN '200' ELSE '418' END,
+                         CAST(floor(value) AS BIGINT))) + 1
+        END AS l
+      FROM events
+    ), off AS (
+      SELECT doc_id, l,
+        coalesce(sum(l) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+      FROM tok
+    ), bl AS (
+      SELECT doc_id, s, l, s + l - 1 AS e,
+        unnest(generate_series(CAST(floor(s / 2048.0) AS BIGINT),
+                               CAST(floor((s + l - 1) / 2048.0) AS BIGINT)))
+          AS block_id
+      FROM off)
+    SELECT block_id,
+      CAST(sum(least(e, (block_id + 1) * 2048 - 1)
+               - greatest(s, block_id * 2048) + 1) AS BIGINT) AS n_tokens,
+      count(*) AS n_docs,
+      min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM bl GROUP BY block_id
+    """
+
+
 def _q50_collectd(spark, sf):
     """parser.Collectd: binary protocol packets (synthesized per event)
     decoded 1→N; per-plugin metric aggregates."""
@@ -1223,6 +1270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_image_decode": _q55_image_decode,
         "q56_surprisal": _q56_surprisal,
         "q57_dup_spans": _q57_dup_spans,
+        "q58_packing": _q58_packing,
     }
 
 
@@ -1854,6 +1902,7 @@ def oracle_sql() -> dict[str, str]:
         "q55_image_decode": _oracle_image_decode(),
         "q56_surprisal": _oracle_surprisal(),
         "q57_dup_spans": _oracle_dup_spans(),
+        "q58_packing": _oracle_packing(),
         "q52_repetition": r"""
             WITH b AS (
               SELECT doc_id,

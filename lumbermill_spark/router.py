@@ -241,19 +241,30 @@ def route_and_write_tagged(
     path = f"{base.rstrip('/')}/routed"
     t0 = time.time()
     tagged = route_tag(df, sinks)
-    tagged.write.mode("overwrite").partitionBy("sink").parquet(path)
-    written = spark.read.parquet(path)
-    aggs = [F.count(F.lit(1)).alias("rows")]
-    has_tok = token_col and token_col in written.columns
-    if has_tok:
-        aggs.append(F.sum(token_col).cast("long").alias("tokens"))
-    stats = {r["sink"]: r for r in written.groupBy("sink").agg(*aggs).collect()}
+    # per-sink counts/tokens ride the write itself via observe with
+    # conditional aggregates (one pair of metrics per sink — sinks are
+    # few by construction): zero extra passes. Round 2 re-read the
+    # written table for a groupBy — column-pruned, but still a full
+    # post-write scan at corpus scale.
+    has_tok = token_col and token_col in tagged.columns
+    metrics = []
+    for spec in sinks:
+        hit = F.col("sink") == spec.name
+        metrics.append(F.count(F.when(hit, 1)).alias(f"rows_{spec.name}"))
+        if has_tok:
+            metrics.append(F.sum(F.when(hit, F.col(token_col)))
+                           .cast("long").alias(f"tok_{spec.name}"))
+    obs = Observation(f"{run_id}-tagged")
+    observed = tagged.observe(obs, *metrics)
+    observed.write.mode("overwrite").partitionBy("sink").parquet(path)
+    got = obs.get
     secs = time.time() - t0
     results: dict = {}
     for spec in sinks:
-        r = stats.get(spec.name)
-        rows = int(r["rows"]) if r else 0
-        tokens = int(r["tokens"]) if r and has_tok else None
+        rows = int(got.get(f"rows_{spec.name}", 0) or 0)
+        tokens = (int(got[f"tok_{spec.name}"])
+                  if has_tok and got.get(f"tok_{spec.name}") is not None
+                  else None)
         ckpt.commit(spark, base, run_id, stage, spec.name, rows, tokens, None)
         results[spec.name] = {"rows": rows, "tokens": tokens,
                               "path": f"{path}/sink={spec.name}"}

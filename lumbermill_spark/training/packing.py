@@ -1,0 +1,181 @@
+"""GPT-style sequence packing: concatenate token sequences (plus an
+EOS separator each) into one logical stream ordered by doc id, and
+slice the stream into fixed-size training blocks.
+
+This is the canonical last step of a pretraining-data pipeline: the
+model consumes fixed-length blocks, documents span block boundaries,
+and nothing is padded. The op here computes the doc → stream-offset
+assignment SCALABLY and then derives either per-block stats
+(`pack_stats`) or the fully assembled block token arrays
+(`pack_blocks`).
+
+Scale design — the offset computation is the interesting part. A
+window cumsum over a global ORDER BY is a single-partition sort at
+corpus scale, so instead:
+
+1. repartitionByRange(id) + sortWithinPartitions(id): globally ordered
+   across partitions, parallel sort;
+2. per-partition token totals (one slim aggregate, collected — one row
+   per partition, not per doc);
+3. exclusive cumsum of those totals on the driver → per-partition base
+   offsets, closed over by a mapInPandas that adds the batch-local
+   cumsum. The slim (id, len, start) frame is localCheckpoint()ed so
+   the range boundaries the bases were computed for can never resample.
+
+Everything after offsets is pure JVM: a doc covering stream range
+[start, end] explodes into the ceil-range of block ids it overlaps
+(``sequence(floor(start/C), floor(end/C))``) — one row per (doc,
+block), never per token.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def stream_offsets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    append_eos: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(id, _len, _start): each doc's length (+1 for EOS when
+    ``append_eos``) and its exclusive-cumsum start offset in the
+    id-ordered concatenated token stream. Slim output, eagerly
+    localCheckpoint()ed (ids + two longs — safe at any corpus size)."""
+    from pyspark import StorageLevel
+
+    extra = 1 if append_eos else 0
+    sized = df.select(
+        F.col(id_col).alias("_id"),
+        (F.size(F.col(tokens_col)) + F.lit(extra)).cast("long").alias("_len"),
+    )
+    spark = df.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    rp = (sized.repartitionByRange(p, "_id")
+          .sortWithinPartitions("_id")
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    try:
+        totals = {r["pid"]: r["tot"] for r in
+                  rp.groupBy(F.spark_partition_id().alias("pid"))
+                  .agg(F.sum("_len").alias("tot")).collect()}
+        bases: dict[int, int] = {}
+        acc = 0
+        for pid in sorted(totals):
+            bases[pid] = acc
+            acc += int(totals[pid])
+
+        id_type = sized.schema["_id"].dataType
+        out_schema = T.StructType([
+            T.StructField("_id", id_type),
+            T.StructField("_len", T.LongType()),
+            T.StructField("_start", T.LongType()),
+        ])
+
+        def run(batches):
+            from pyspark import TaskContext
+
+            base = bases.get(TaskContext.get().partitionId(), 0)
+            for pdf in batches:
+                ln = pdf["_len"].to_numpy(dtype=np.int64)
+                starts = base + np.concatenate(
+                    ([0], np.cumsum(ln)[:-1])) if len(ln) else ln
+                base += int(ln.sum())
+                yield pd.DataFrame({"_id": pdf["_id"], "_len": pdf["_len"],
+                                    "_start": starts})
+
+        # pin: the bases above belong to THIS materialized partitioning;
+        # a recompute could re-sample different range boundaries
+        out = rp.mapInPandas(run, out_schema).localCheckpoint(eager=True)
+    finally:
+        rp.unpersist()
+    return out
+
+
+def _doc_blocks(offsets: DataFrame, block_size: int) -> DataFrame:
+    """One row per (doc, overlapped block): block_id + covered length
+    + the in-doc slice coordinates."""
+    c = F.lit(block_size).cast("long")
+    end = (F.col("_start") + F.col("_len") - 1).alias("_end")
+    spans = offsets.select("_id", "_start", "_len", end)
+    return spans.select(
+        "_id", "_start", "_len", "_end",
+        F.explode(F.sequence(F.floor(F.col("_start") / c),
+                             F.floor(F.col("_end") / c))).alias("block_id"),
+    ).withColumn(
+        "_covered",
+        F.least(F.col("_end"), (F.col("block_id") + 1) * c - 1)
+        - F.greatest(F.col("_start"), F.col("block_id") * c) + 1,
+    ).withColumn(
+        "_slice_from",  # 0-based offset within the doc's (tokens+eos)
+        F.greatest(F.col("block_id") * c - F.col("_start"), F.lit(0)),
+    )
+
+
+def pack_stats(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    block_size: int = 2048,
+    append_eos: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-block packing statistics: (block_id, n_tokens, n_docs,
+    first_doc, last_doc). Every block carries exactly ``block_size``
+    tokens except the final one."""
+    offsets = stream_offsets(df, id_col, tokens_col, append_eos,
+                             num_partitions)
+    return (
+        _doc_blocks(offsets, block_size)
+        .groupBy("block_id")
+        .agg(F.sum("_covered").alias("n_tokens"),
+             F.count(F.lit(1)).alias("n_docs"),
+             F.min("_id").alias("first_doc"),
+             F.max("_id").alias("last_doc"))
+    )
+
+
+def pack_blocks(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    block_size: int = 2048,
+    eos_token: int = 0,
+    append_eos: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assembled fixed-size training blocks: (block_id, tokens) where
+    ``tokens`` is the ``block_size``-length slice of the concatenated
+    (doc tokens + EOS) stream (final block may be shorter).
+
+    Pure JVM assembly: each (doc, block) overlap contributes a slice of
+    the doc's array; per block the pieces are sorted by stream offset
+    and flattened. Shuffle volume is one row per (doc, block) — token
+    arrays ride the shuffle exactly once."""
+    offsets = stream_offsets(df, id_col, tokens_col, append_eos,
+                             num_partitions)
+    toks = F.col(tokens_col)
+    if append_eos:
+        toks = F.concat(toks, F.array(F.lit(eos_token)))
+    pieces = (
+        _doc_blocks(offsets, block_size)
+        .join(df.select(F.col(id_col).alias("_id"), toks.alias("_toks")),
+              on="_id")
+        .select(
+            "block_id", "_start",
+            # slice() is 1-based
+            F.slice(F.col("_toks"), (F.col("_slice_from") + 1).cast("int"),
+                    F.col("_covered").cast("int")).alias("_piece"),
+        )
+    )
+    return (
+        pieces.groupBy("block_id")
+        .agg(F.flatten(F.transform(
+            F.array_sort(F.collect_list(F.struct("_start", "_piece"))),
+            lambda s: s["_piece"])).alias(tokens_col))
+    )

@@ -380,3 +380,36 @@ def test_unigram_surprisal(spark):
     s = {r["doc_id"]: r["mean_surprisal"]
          for r in textstats.unigram_surprisal(df2).collect()}
     assert s[3] > s[1]
+
+
+def test_sequence_packing(spark):
+    from lumbermill_spark.training import packing
+
+    rows = [(f"d{i:03d}", list(range(i % 7 + 1))) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    C = 16
+    # python ground truth: concat (tokens + [eos]) in doc_id order
+    stream, bounds = [], {}
+    for did, toks in sorted(rows):
+        s = len(stream)
+        stream += toks + [0]
+        bounds[did] = (s, len(stream) - 1)
+    stats = {r["block_id"]: r for r in
+             packing.pack_stats(df, block_size=C).collect()}
+    import math
+    assert len(stats) == math.ceil(len(stream) / C)
+    for k, r in stats.items():
+        lo, hi = k * C, min((k + 1) * C, len(stream)) - 1
+        ds = sorted(d for d, (s, e) in bounds.items()
+                    if s <= hi and e >= lo)
+        assert r["n_tokens"] == hi - lo + 1
+        assert r["n_docs"] == len(ds)
+        assert (r["first_doc"], r["last_doc"]) == (ds[0], ds[-1])
+    # assembled blocks reconstruct the exact stream
+    blocks = {r["block_id"]: list(r["tokens"]) for r in
+              packing.pack_blocks(df, block_size=C).collect()}
+    recon = [t for k in sorted(blocks) for t in blocks[k]]
+    assert recon == stream
+    # every block is exactly C long except the final one
+    last = max(blocks)
+    assert all(len(v) == C for k, v in blocks.items() if k != last)
