@@ -57,6 +57,10 @@ def stream_offsets(
     )
     spark = df.sparkSession
     p = num_partitions or spark.sparkContext.defaultParallelism
+    # cache the slim (id, len) projection FIRST: repartitionByRange
+    # samples its input to pick boundaries, which would otherwise run
+    # the (possibly expensive) upstream once more just for the sample
+    sized = sized.persist(StorageLevel.MEMORY_AND_DISK)
     rp = (sized.repartitionByRange(p, "_id")
           .sortWithinPartitions("_id")
           .persist(StorageLevel.MEMORY_AND_DISK))
@@ -94,6 +98,7 @@ def stream_offsets(
         out = rp.mapInPandas(run, out_schema).localCheckpoint(eager=True)
     finally:
         rp.unpersist()
+        sized.unpersist()
     return out
 
 
