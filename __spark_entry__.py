@@ -51,26 +51,33 @@ _STATUS_CLASS = {"200": "success", "201": "success", "204": "success",
                  "402": "client_error", "500": "server_error"}
 
 
+def _line_parts():
+    """Shared column exprs for the synthesized httpd log line — ONE
+    definition consumed by _events_token_table and q53 (and mirrored by
+    _SQL_TOK_LINE on the oracle side) so the pieces cannot drift."""
+    ip = F.format_string(
+        "10.0.%d.%d", F.pmod(F.col("user_id"), F.lit(200)),
+        (F.pmod(F.col("event_id"), F.lit(250)) + 1))
+    user = F.concat(F.lit("u"), F.col("user_id").cast("string"))
+    status = F.coalesce(
+        F.element_at(
+            F.create_map(*[F.lit(x) for kv in _STATUS_BY_TYPE.items()
+                           for x in kv]),
+            F.col("event_type")),
+        F.lit("418"))
+    nbytes = F.floor(F.col("value")).cast("long")
+    corrupt = (F.col("event_type") == "error") & (F.col("value") >= 180.0)
+    return ip, user, status, nbytes, corrupt
+
+
 def _events_token_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic (doc_id, tokens, n_tok, source) table derived from
     the events parquet: each event becomes an httpd-style log line
     (errors with value>=180 become corrupt payloads), byte-tokenized."""
     ev = _t(spark, sf_dir, "events")
-    ip = F.format_string(
-        "10.0.%d.%d", F.pmod(F.col("user_id"), F.lit(200)),
-        (F.pmod(F.col("event_id"), F.lit(250)) + 1),
-    )
-    user = F.concat(F.lit("u"), F.col("user_id").cast("string"))
-    status = F.coalesce(
-        F.element_at(
-            F.create_map(*[F.lit(x) for kv in _STATUS_BY_TYPE.items() for x in kv]),
-            F.col("event_type"),
-        ),
-        F.lit("418"),
-    )
-    nbytes = F.floor(F.col("value")).cast("long")
+    ip, user, status, nbytes, corrupt = _line_parts()
     line = F.when(
-        (F.col("event_type") == "error") & (F.col("value") >= 180.0),
+        corrupt,
         F.lit("?? corrupt frame ??"),
     ).otherwise(
         F.format_string(
@@ -112,10 +119,10 @@ def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ORACLE_FLAGSHIP = r"""
-WITH tok AS (
-  SELECT
-    CASE WHEN event_type = 'error' AND value >= 180.0
+# The synthesized-line SQL (DuckDB) used by every oracle that replays
+# _events_token_table: ONE definition so the corrupt-frame rule / status
+# map / printf shape can never drift apart between oracles.
+_SQL_TOK_LINE = """CASE WHEN event_type = 'error' AND value >= 180.0
          THEN '?? corrupt frame ??'
          ELSE printf('%s - %s [01/Jan/2024:00:00:00 +0000] "GET /api/v1/items HTTP/1.0" %s %d',
                      printf('10.0.%d.%d', user_id % 200, (event_id % 250) + 1),
@@ -124,7 +131,12 @@ WITH tok AS (
                           WHEN 'signup' THEN '201' WHEN 'click' THEN '204'
                           WHEN 'view' THEN '200' ELSE '418' END,
                      CAST(floor(value) AS BIGINT))
-    END AS line
+    END"""
+
+_ORACLE_FLAGSHIP = rf"""
+WITH tok AS (
+  SELECT
+    {_SQL_TOK_LINE} AS line
   FROM events
 ), parsed AS (
   SELECT line,
@@ -508,16 +520,7 @@ def _oracle_grok() -> str:
     gi = rule.group_index
     return f"""
     WITH tok AS (
-      SELECT CASE WHEN event_type = 'error' AND value >= 180.0
-               THEN '?? corrupt frame ??'
-               ELSE printf('%s - %s [01/Jan/2024:00:00:00 +0000] "GET /api/v1/items HTTP/1.0" %s %d',
-                           printf('10.0.%d.%d', user_id % 200, (event_id % 250) + 1),
-                           'u' || CAST(user_id AS VARCHAR),
-                           CASE event_type WHEN 'error' THEN '500' WHEN 'purchase' THEN '402'
-                                WHEN 'signup' THEN '201' WHEN 'click' THEN '204'
-                                WHEN 'view' THEN '200' ELSE '418' END,
-                           CAST(floor(value) AS BIGINT))
-          END AS line
+      SELECT {_SQL_TOK_LINE} AS line
       FROM events
     ), p AS (
       SELECT
@@ -927,23 +930,13 @@ def _q53_grok_combined(spark, sf):
     recipe — the composite regex itself uses lookaheads RE2 lacks), so
     each extracted field is still value-checked end-to-end."""
     ev = _t(spark, sf, "events")
-    ip = F.format_string(
-        "10.0.%d.%d", F.pmod(F.col("user_id"), F.lit(200)),
-        (F.pmod(F.col("event_id"), F.lit(250)) + 1))
-    user = F.concat(F.lit("u"), F.col("user_id").cast("string"))
-    status = F.coalesce(
-        F.element_at(
-            F.create_map(*[F.lit(x) for kv in _STATUS_BY_TYPE.items()
-                           for x in kv]),
-            F.col("event_type")),
-        F.lit("418"))
-    nbytes = F.floor(F.col("value")).cast("long")
+    ip, user, status, nbytes, corrupt = _line_parts()
     referrer = F.concat(F.lit("https://ref.example/p"),
                         F.pmod(F.col("event_id"), F.lit(7)).cast("string"))
     agent = F.element_at(F.array(*[F.lit(u) for u in _UA_CHOICES]),
                          (F.pmod(F.col("user_id"), F.lit(3)) + 1).cast("int"))
     line = F.when(
-        (F.col("event_type") == "error") & (F.col("value") >= 180.0),
+        corrupt,
         F.lit("?? corrupt frame ??"),
     ).otherwise(F.format_string(
         '%s - %s [01/Jan/2024:00:00:00 +0000] '
@@ -1145,19 +1138,10 @@ def _q58_packing(spark, sf):
 
 
 def _oracle_packing() -> str:
-    return r"""
+    return rf"""
     WITH tok AS (
       SELECT printf('doc-%012d', event_id) AS doc_id,
-        CASE WHEN event_type = 'error' AND value >= 180.0
-             THEN length('?? corrupt frame ??') + 1
-             ELSE length(printf('%s - %s [01/Jan/2024:00:00:00 +0000] "GET /api/v1/items HTTP/1.0" %s %d',
-                         printf('10.0.%d.%d', user_id % 200, (event_id % 250) + 1),
-                         'u' || CAST(user_id AS VARCHAR),
-                         CASE event_type WHEN 'error' THEN '500' WHEN 'purchase' THEN '402'
-                              WHEN 'signup' THEN '201' WHEN 'click' THEN '204'
-                              WHEN 'view' THEN '200' ELSE '418' END,
-                         CAST(floor(value) AS BIGINT))) + 1
-        END AS l
+        length({_SQL_TOK_LINE}) + 1 AS l
       FROM events
     ), off AS (
       SELECT doc_id, l,

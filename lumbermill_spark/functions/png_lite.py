@@ -19,7 +19,8 @@ import zlib
 import numpy as np
 
 _SIG = b"\x89PNG\r\n\x1a\n"
-_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, rgb, gray+alpha, rgba
+# color type -> stored channels per pixel (palette stores 1 index byte)
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def _chunk(typ: bytes, data: bytes) -> bytes:
@@ -63,7 +64,7 @@ def decode_png(data: bytes) -> np.ndarray:
     data = bytes(data)
     if data[:8] != _SIG:
         raise ValueError("not a PNG (bad signature)")
-    off, idat, meta = 8, [], None
+    off, idat, meta, plte = 8, [], None, None
     while off + 8 <= len(data):
         ln, typ = struct.unpack_from(">I4s", data, off)
         body = data[off + 8:off + 8 + ln]
@@ -77,14 +78,20 @@ def decode_png(data: bytes) -> np.ndarray:
                 raise ValueError(
                     f"unsupported PNG variant (depth={depth}, "
                     f"color={color}, interlace={inter})")
-            meta = (w, h, _CHANNELS[color])
+            meta = (w, h, _CHANNELS[color], color)
+        elif typ == b"PLTE":
+            if len(body) % 3:
+                raise ValueError("bad PLTE length")
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
         elif typ == b"IDAT":
             idat.append(body)
         elif typ == b"IEND":
             break
     if meta is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
-    w, h, ch = meta
+    w, h, ch, color = meta
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as exc:
@@ -121,6 +128,10 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"unknown PNG filter {f}")
         out[y] = cur
         prev = cur
+    if color == 3:                         # palette indices -> RGB
+        if int(out.max(initial=0)) >= len(plte):
+            raise ValueError("palette index out of range")
+        return plte[out.reshape(h, w)]
     return out.reshape(h, w, ch) if ch > 1 else out.reshape(h, w)
 
 

@@ -344,37 +344,46 @@ def connected_components(
     """
     from pyspark import StorageLevel
 
+    # validate BEFORE any session state is touched (conf override,
+    # persists) so a bad argument can't leak either
+    if compress not in (True, False, "auto"):
+        raise ValueError("compress must be True, False or 'auto'")
     checkpoint_interval = 5
     spark = pairs.sparkSession
     edges_raw = pairs.select(F.col(a_col).alias("src"),
                              F.col(b_col).alias("dst"))
     edges_raw = edges_raw.unionByName(
         edges_raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    # Size the loop's shuffle partitioning from the MEASURED edge count
-    # (the count doubles as the one-time materialization of the pair
-    # generation). The CC frames are slim (two longs) and usually tiny
-    # relative to the corpus — only paired docs enter — but the session
-    # default (2x cores, and AQE with parallelismFirst) keeps every
-    # round's joins at full width: measured at sf0.1 that is ~200
-    # near-empty tasks per round dominating the runtime. ~500k edges
-    # (≈8 MB) per partition, capped at 10k partitions for 10^10-edge
-    # graphs.
-    n_edges = edges_raw.count()
-    p = int(max(1, min(n_edges // 500_000 + 1, 10_000)))
-    old_p = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(p))
-    # cache at p partitions, pre-hashed on the join key
-    edges = edges_raw.repartition(p, "dst").persist(StorageLevel.MEMORY_AND_DISK)
-    labels = edges.select(F.col("src").alias("node")).distinct() \
-        .withColumn("label", F.col("node"))
-    labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
-    to_unpersist: list[DataFrame] = [labels]
-    converged = False
-    if compress not in (True, False, "auto"):
-        raise ValueError("compress must be True, False or 'auto'")
+    ).distinct()
     auto_after = 3  # 'auto': plain rounds first, doubling once deep
+    converged = False
+    cached: list[DataFrame] = []  # everything persisted, for finally
+    edges = None
+    old_p = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        edges_raw = edges_raw.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(edges_raw)
+        # Size the loop's shuffle partitioning from the MEASURED edge
+        # count (the count doubles as the one-time materialization of
+        # the pair generation). The CC frames are slim (two longs) and
+        # usually tiny relative to the corpus — only paired docs enter
+        # — but the session default (2x cores, and AQE with
+        # parallelismFirst) keeps every round's joins at full width:
+        # measured at sf0.1 that is ~200 near-empty tasks per round
+        # dominating the runtime. ~500k edges (≈8 MB) per partition,
+        # capped at 10k partitions for 10^10-edge graphs.
+        n_edges = edges_raw.count()
+        p = int(max(1, min(n_edges // 500_000 + 1, 10_000)))
+        spark.conf.set("spark.sql.shuffle.partitions", str(p))
+        # cache at p partitions, pre-hashed on the join key
+        edges = edges_raw.repartition(p, "dst") \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(edges)
+        labels = edges.select(F.col("src").alias("node")).distinct() \
+            .withColumn("label", F.col("node")) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(labels)
+        prev_frame: DataFrame | None = labels  # released per round
         for it in range(max_iterations):
             do_compress = (compress is True
                            or (compress == "auto" and it >= auto_after))
@@ -410,12 +419,24 @@ def connected_components(
             if (it + 1) % checkpoint_interval == 0:
                 # truncate lineage so the plan doesn't grow per round
                 stepped = stepped.localCheckpoint(eager=True)
+                this_cached = None
             else:
                 stepped = stepped.persist(StorageLevel.MEMORY_AND_DISK)
-                to_unpersist.append(stepped)
+                this_cached = stepped
+                cached.append(stepped)
             # ONE action: materializes the round AND probes convergence
             changed = stepped.filter(F.col("new") < F.col("label")) \
                 .limit(1).count()
+            # the new round is materialized: the previous round's frame
+            # (referenced only through this round's, now-cached, jump/
+            # step joins) can be released immediately — holding every
+            # round's cache until function exit would accumulate
+            # O(rounds) copies of the label set
+            if prev_frame is not None:
+                prev_frame.unpersist()
+                if prev_frame in cached:
+                    cached.remove(prev_frame)
+            prev_frame = this_cached
             labels = stepped.select("node", F.col("new").alias("label"))
             if changed == 0:
                 converged = True
@@ -431,10 +452,8 @@ def connected_components(
         labels = labels.localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_p)
-        for prev in to_unpersist:
-            prev.unpersist()
-        edges.unpersist()
-        edges_raw.unpersist()
+        for frame in cached:
+            frame.unpersist()
     return labels.select(F.col("node").alias("id"),
                          F.col("label").alias("component"))
 

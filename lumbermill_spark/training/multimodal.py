@@ -91,31 +91,24 @@ def decode_images(df: DataFrame, codec: str = "real") -> DataFrame:
 
     def _decode_real(payload: bytes) -> tuple[int, int, int, float]:
         # Pillow when importable (any format it knows); else the
-        # bundled pure-stdlib PNG codec — real decode either way.
-        import io
+        # bundled pure-stdlib PNG codec. Both paths feed the SAME
+        # numpy luma formula (png_lite.mean_luma, float ITU-R 601-2),
+        # so the output values are environment-independent for images
+        # both can decode (8-bit PNG); Pillow merely widens format
+        # coverage.
+        from lumbermill_spark.functions import png_lite
 
-        try:
-            from PIL import Image
-        except ImportError:
-            from lumbermill_spark.functions import png_lite
-
-            arr = png_lite.decode_png(payload)  # ValueError if not PNG
-            channels = 1 if arr.ndim == 2 else arr.shape[2]
-            return (arr.shape[1], arr.shape[0], channels,
-                    round(png_lite.mean_luma(arr), 6))
-        img = Image.open(io.BytesIO(payload))
-        channels = len(img.getbands())
-        gray = img.convert("L")
-        hist = gray.histogram()
-        total = sum(hist) or 1
-        mean = sum(i * c for i, c in enumerate(hist)) / total / 255.0
-        return img.width, img.height, channels, round(mean, 6)
+        arr, channels = _to_array(payload)
+        return (arr.shape[1], arr.shape[0], channels,
+                round(png_lite.mean_luma(arr), 6))
 
     decode_one = _decode_real if codec == "real" else _decode_fake
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [decode_one(bytes(p)) for p in pdf["payload"]]
+            feats = [decode_one(bytes(p)) if p is not None
+                     else (None, None, None, None)
+                     for p in pdf["payload"]]
             out = pd.DataFrame(
                 feats, columns=["width", "height", "channels", "mean_luma"]
             )
@@ -125,13 +118,42 @@ def decode_images(df: DataFrame, codec: str = "real") -> DataFrame:
     return df.mapInPandas(run, IMAGE_FEATURES)
 
 
+def _to_array(payload: bytes):
+    """payload → (uint8 numpy array, original channel count), via
+    Pillow when importable else png_lite. Exotic Pillow modes are
+    normalized to RGB so both paths agree on 8-bit content."""
+    import io
+
+    import numpy as np
+
+    from lumbermill_spark.functions import png_lite
+
+    try:
+        from PIL import Image
+    except ImportError:
+        arr = png_lite.decode_png(payload)  # ValueError if not PNG
+        return arr, (1 if arr.ndim == 2 else arr.shape[2])
+    img = Image.open(io.BytesIO(payload))
+    channels = len(img.getbands())
+    if img.mode == "P":
+        # match png_lite: palette expands to RGB, channels = palette's
+        img = img.convert("RGB")
+        channels = 3
+    elif img.mode not in ("L", "LA", "RGB", "RGBA"):
+        img = img.convert("RGB")
+    return np.asarray(img, dtype=np.uint8), channels
+
+
 def resize(df: DataFrame, width: int, height: int,
            codec: str = "real") -> DataFrame:
     """Image resize: binary in → binary out, same partitioning.
 
-    codec='real': Pillow when importable (nearest-neighbor for
-    determinism, re-encoded as PNG), else the bundled PNG codec with
-    the same nearest kernel — a genuinely resized payload either way.
+    codec='real': decode (Pillow when importable, else the bundled PNG
+    codec), resample with png_lite's floor-nearest kernel, re-encode
+    with png_lite — the OUTPUT BYTES are identical whether or not
+    Pillow is installed (Pillow only widens input-format coverage;
+    PIL's own NEAREST is center-aligned and would differ, so it is
+    deliberately not used). Null payloads pass through as null.
     codec='fake' passes the payload through and annotates target dims
     (for non-image payload plumbing tests)."""
     out_schema = T.StructType([
@@ -144,26 +166,19 @@ def resize(df: DataFrame, width: int, height: int,
         raise ValueError("codec must be 'real' or 'fake'")
 
     def _resize_real(payload: bytes) -> bytes:
-        import io
+        from lumbermill_spark.functions import png_lite
 
-        try:
-            from PIL import Image
-        except ImportError:
-            from lumbermill_spark.functions import png_lite
-
-            arr = png_lite.decode_png(payload)
-            return png_lite.encode_png(
-                png_lite.resize_nearest(arr, width, height))
-        img = Image.open(io.BytesIO(payload))
-        out = io.BytesIO()
-        img.resize((width, height), Image.NEAREST).save(out, format="PNG")
-        return out.getvalue()
+        arr, _ = _to_array(payload)
+        return png_lite.encode_png(
+            png_lite.resize_nearest(arr, width, height))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = (pdf["payload"]
                         if codec == "fake"
-                        else [_resize_real(bytes(p)) for p in pdf["payload"]])
+                        else [_resize_real(bytes(p)) if p is not None
+                              else None
+                              for p in pdf["payload"]])
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "payload": payloads,

@@ -51,9 +51,15 @@ def stream_offsets(
     from pyspark import StorageLevel
 
     extra = 1 if append_eos else 0
+    # null tokens count as an empty doc (size(null) is -1 legacy / null
+    # ANSI — neither is a length); a doc may end up _len 0 with
+    # append_eos=False, which downstream treats as occupying no stream
+    # space rather than emitting inverted spans
+    n_tok = F.when(F.col(tokens_col).isNull(), F.lit(0)) \
+        .otherwise(F.size(F.col(tokens_col)))
     sized = df.select(
         F.col(id_col).alias("_id"),
-        (F.size(F.col(tokens_col)) + F.lit(extra)).cast("long").alias("_len"),
+        (n_tok + F.lit(extra)).cast("long").alias("_len"),
     )
     spark = df.sparkSession
     p = num_partitions or spark.sparkContext.defaultParallelism
@@ -107,7 +113,11 @@ def _doc_blocks(offsets: DataFrame, block_size: int) -> DataFrame:
     + the in-doc slice coordinates."""
     c = F.lit(block_size).cast("long")
     end = (F.col("_start") + F.col("_len") - 1).alias("_end")
-    spans = offsets.select("_id", "_start", "_len", end)
+    # zero-length docs (empty tokens, append_eos=False) occupy no
+    # stream space: they must not explode (sequence(k, k-1) would emit
+    # a DESCENDING range -> spurious rows / phantom blocks)
+    spans = offsets.filter(F.col("_len") > 0) \
+        .select("_id", "_start", "_len", end)
     return spans.select(
         "_id", "_start", "_len", "_end",
         F.explode(F.sequence(F.floor(F.col("_start") / c),
@@ -164,9 +174,10 @@ def pack_blocks(
     arrays ride the shuffle exactly once."""
     offsets = stream_offsets(df, id_col, tokens_col, append_eos,
                              num_partitions)
-    toks = F.col(tokens_col)
+    arr_type = df.schema[tokens_col].dataType
+    toks = F.coalesce(F.col(tokens_col), F.array().cast(arr_type))
     if append_eos:
-        toks = F.concat(toks, F.array(F.lit(eos_token)))
+        toks = F.concat(toks, F.array(F.lit(eos_token)).cast(arr_type))
     pieces = (
         _doc_blocks(offsets, block_size)
         .join(df.select(F.col(id_col).alias("_id"), toks.alias("_toks")),

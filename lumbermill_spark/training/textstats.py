@@ -211,10 +211,13 @@ def unigram_surprisal(
     proxy of training-data curation: gibberish and out-of-distribution
     docs score high, boilerplate scores low.
 
-    Plan: one explode; corpus total is a 1-row broadcast cross join;
-    per-word counts shuffle once on word (map-side combined); per-doc
-    aggregate map-side combines. Linear at any corpus size; no word
-    list ever reaches the driver.
+    Plan: ONE corpus scan — the exploded words collapse immediately to
+    per-(doc, word) counts (map-side combined) which are eagerly
+    localCheckpoint()ed; global word counts, the corpus total (1-row
+    broadcast), and the per-doc aggregate all derive from that slim
+    checkpointed frame, so the expensive scan+split+explode never
+    re-executes per consumer. Linear at any corpus size; no word list
+    ever reaches the driver.
 
     Output: (id, n_words, mean_surprisal).
     """
@@ -222,17 +225,19 @@ def unigram_surprisal(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
     ).filter(F.col("w") != "")
-    counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    # total word count from the (map-side-combined) counts, not a third
-    # scan of the corpus
+    # slim (doc, word, k) frame: materialized once, consumed three ways
+    dw = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("k")) \
+        .localCheckpoint(eager=True)
+    counts = dw.groupBy("w").agg(F.sum("k").alias("c"))
     total = counts.agg(F.sum("c").alias("N"))
     scored = (
-        words.join(counts, on="w")
+        dw.join(counts, on="w")
         .crossJoin(F.broadcast(total))
-        .select(id_col,
+        .select(id_col, "k",
                 (-F.log2(F.col("c") / F.col("N"))).alias("s"))
     )
     return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_words"),
-        F.round(F.avg("s"), round_to).alias("mean_surprisal"),
+        F.sum("k").alias("n_words"),
+        F.round(F.sum(F.col("k") * F.col("s")) / F.sum("k"), round_to)
+        .alias("mean_surprisal"),
     )

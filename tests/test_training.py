@@ -413,3 +413,48 @@ def test_sequence_packing(spark):
     # every block is exactly C long except the final one
     last = max(blocks)
     assert all(len(v) == C for k, v in blocks.items() if k != last)
+
+
+def test_packing_null_and_empty_tokens(spark):
+    from lumbermill_spark.training import packing
+
+    df = spark.createDataFrame(
+        [("d1", [1, 2, 3]), ("d2", None), ("d3", []), ("d4", [4, 5])],
+        "doc_id string, tokens array<int>")
+    # with EOS: stream = [1,2,3,0] [0] [0] [4,5,0] -> 9 tokens
+    stats = {r["block_id"]: r for r in
+             packing.pack_stats(df, block_size=4).collect()}
+    assert sum(r["n_tokens"] for r in stats.values()) == 9
+    assert stats[0]["n_docs"] == 1 and stats[1]["n_docs"] == 3
+    blocks = {r["block_id"]: list(r["tokens"]) for r in
+              packing.pack_blocks(df, block_size=4).collect()}
+    assert [t for k in sorted(blocks) for t in blocks[k]] == \
+        [1, 2, 3, 0, 0, 0, 4, 5, 0]
+    # without EOS: null/empty docs occupy NO stream space — no phantom
+    # blocks, no inverted sequence rows
+    stats2 = {r["block_id"]: r for r in
+              packing.pack_stats(df, block_size=4,
+                                 append_eos=False).collect()}
+    assert sum(r["n_tokens"] for r in stats2.values()) == 5
+    all_docs = {r["first_doc"] for r in stats2.values()} \
+        | {r["last_doc"] for r in stats2.values()}
+    assert "d2" not in all_docs and "d3" not in all_docs
+
+
+def test_multimodal_null_payload_rows(spark):
+    import numpy as np
+
+    from lumbermill_spark.functions import png_lite
+
+    png = png_lite.encode_png(np.full((4, 4), 100, dtype=np.uint8))
+    df = spark.createDataFrame(
+        [("m1", bytearray(png)), ("m2", None)],
+        "media_id string, payload binary")
+    rows = {r["media_id"]: r
+            for r in multimodal.decode_images(df, codec="real").collect()}
+    assert rows["m1"]["width"] == 4
+    assert rows["m2"]["width"] is None and rows["m2"]["mean_luma"] is None
+    rz = {r["media_id"]: r["payload"]
+          for r in multimodal.resize(df, 2, 2, codec="real").collect()}
+    assert rz["m2"] is None
+    assert png_lite.decode_png(bytes(rz["m1"])).shape == (2, 2)
