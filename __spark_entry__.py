@@ -1163,6 +1163,45 @@ def _oracle_packing() -> str:
     """
 
 
+def _q59_contamination(spark, sf):
+    """Benchmark-contamination check: documents split into a pseudo
+    eval set (doc_id ending 0-1) vs train set (the rest); per eval doc,
+    the fraction of its distinct word 5-grams found anywhere in train
+    (the n-gram-overlap decontamination pass run before training)."""
+    docs = _t(spark, sf, "documents")
+    is_eval = F.pmod(F.col("doc_id"), F.lit(10)) < 2
+    return dedup.contamination_stats(
+        docs.filter(~is_eval), docs.filter(is_eval), n=5)
+
+
+def _oracle_contamination() -> str:
+    return r"""
+    WITH sh AS (
+      SELECT doc_id, (doc_id % 10 < 2) AS is_eval,
+        list_distinct(CASE WHEN len(w) >= 5 THEN
+          list_transform(generate_series(1, len(w) - 4),
+                         i -> array_to_string(w[i:i+4], ' '))
+        ELSE [] END) AS g
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+            FROM documents)
+    ), tg AS (
+      SELECT DISTINCT unnest(g) AS s FROM sh WHERE NOT is_eval
+    ), eg AS (SELECT doc_id, unnest(g) AS s FROM sh WHERE is_eval),
+    agg AS (
+      SELECT eg.doc_id, count(*) AS n_grams,
+        sum(CASE WHEN tg.s IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+      FROM eg LEFT JOIN tg ON eg.s = tg.s GROUP BY eg.doc_id)
+    SELECT d.doc_id,
+      coalesce(a.n_grams, 0) AS n_grams,
+      coalesce(a.n_hits, 0) AS n_hits,
+      round(CASE WHEN coalesce(a.n_grams, 0) > 0
+                 THEN CAST(a.n_hits AS DOUBLE) / a.n_grams
+                 ELSE 0.0 END, 6) AS contamination
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    WHERE d.doc_id % 10 < 2
+    """
+
+
 def _q50_collectd(spark, sf):
     """parser.Collectd: binary protocol packets (synthesized per event)
     decoded 1→N; per-plugin metric aggregates."""
@@ -1255,6 +1294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_surprisal": _q56_surprisal,
         "q57_dup_spans": _q57_dup_spans,
         "q58_packing": _q58_packing,
+        "q59_contamination": _q59_contamination,
     }
 
 
@@ -1887,6 +1927,7 @@ def oracle_sql() -> dict[str, str]:
         "q56_surprisal": _oracle_surprisal(),
         "q57_dup_spans": _oracle_dup_spans(),
         "q58_packing": _oracle_packing(),
+        "q59_contamination": _oracle_contamination(),
         "q52_repetition": r"""
             WITH b AS (
               SELECT doc_id,

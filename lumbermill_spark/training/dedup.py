@@ -634,3 +634,51 @@ def dup_span_stats(
                 6).alias("dup_fraction"),
         )
     )
+
+
+def contamination_stats(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark-contamination signal: for each EVAL document, the
+    fraction of its distinct word ``n``-grams that appear anywhere in
+    the TRAIN corpus (the standard n-gram-overlap decontamination check
+    run before training — eval docs with high overlap leaked into the
+    training set, or vice versa).
+
+    Plan: train side collapses to its DISTINCT gram set (one explode +
+    one map-side-combined shuffle — the gram vocabulary, not the
+    corpus, rides the join); eval grams left-join that vocabulary on
+    the gram key. Linear in total grams on both sides, no all-pairs
+    anything; eval docs too short for any n-gram report 0/0/0.
+
+    Output: (id, n_grams, n_hits, contamination).
+    """
+    tgrams = train.select(
+        F.explode(word_shingles(F.col(text_col), n)).alias("g")
+    ).distinct().withColumn("_hit", F.lit(1))
+    egrams = eval_df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), n)).alias("g"),
+    )
+    per_doc = (
+        egrams.join(tgrams, on="g", how="left")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_grams"),
+             F.sum(F.coalesce("_hit", F.lit(0))).alias("n_hits"))
+    )
+    return (
+        eval_df.select(id_col).join(per_doc, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(
+                F.when(F.coalesce("n_grams", F.lit(0)) > 0,
+                       F.coalesce("n_hits", F.lit(0)) / F.col("n_grams"))
+                .otherwise(F.lit(0.0)), 6).alias("contamination"),
+        )
+    )

@@ -458,3 +458,23 @@ def test_multimodal_null_payload_rows(spark):
           for r in multimodal.resize(df, 2, 2, codec="real").collect()}
     assert rz["m2"] is None
     assert png_lite.decode_png(bytes(rz["m1"])).shape == (2, 2)
+
+
+def test_contamination_stats(spark):
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely unrelated training text body here")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(10, "the quick brown fox jumps high today"),   # shares a prefix
+         (11, "zero overlap with anything in the set"),
+         (12, "hi")],                                    # too short
+        "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in dedup.contamination_stats(train, ev, n=4).collect()}
+    assert set(out) == {10, 11, 12}
+    # doc10: 4 grams, "the quick brown fox"+"quick brown fox jumps" hit
+    assert out[10]["n_grams"] == 4 and out[10]["n_hits"] == 2
+    assert abs(out[10]["contamination"] - 0.5) < 1e-9
+    assert out[11]["n_hits"] == 0 and out[11]["contamination"] == 0.0
+    assert out[12]["n_grams"] == 0 and out[12]["contamination"] == 0.0
