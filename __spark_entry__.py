@@ -1202,6 +1202,62 @@ def _oracle_contamination() -> str:
     """
 
 
+def _q60_pii_scrub(spark, sf):
+    """PII redaction pass (training-data curation): emails / IPv4s /
+    phone-shaped digit groups replaced by typed placeholders with
+    per-doc counts. Synthetic PII is injected in-query from documents
+    columns; the DuckDB twin replays the IDENTICAL lookahead-free
+    regexes under RE2, so counts AND the scrubbed text value-check
+    across both engines."""
+    docs = _t(spark, sf, "documents")
+    pii = F.element_at(
+        F.array(
+            F.concat(F.lit(" contact u"), F.col("doc_id").cast("string"),
+                     F.lit("@ex.com now")),
+            F.concat(F.lit(" from 10."),
+                     F.pmod(F.col("doc_id"), F.lit(200)).cast("string"),
+                     F.lit(".0."),
+                     F.pmod(F.col("doc_id"), F.lit(250)).cast("string"),
+                     F.lit(" host")),
+            F.format_string(" call 555-%03d-%04d ok",
+                            F.pmod(F.col("doc_id"), F.lit(1000)),
+                            F.pmod(F.col("doc_id"), F.lit(10000))),
+            F.lit(""),
+        ),
+        (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("int"))
+    df = docs.select("doc_id", F.concat(F.col("text"), pii).alias("text"))
+    out = textstats.scrub_pii(df)
+    return out.select("doc_id", "n_emails", "n_ips", "n_phones",
+                      F.col("text_scrubbed").alias("scrubbed"))
+
+
+def _oracle_pii_scrub() -> str:
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ipv4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+    phone = r"\b\d{3}[- ]\d{3,4}[- ]\d{4}\b"
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text ||
+        CASE doc_id % 4
+          WHEN 0 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@ex.com now'
+          WHEN 1 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR)
+                      || '.0.' || CAST(doc_id % 250 AS VARCHAR) || ' host'
+          WHEN 2 THEN printf(' call 555-%03d-%04d ok',
+                             doc_id % 1000, doc_id % 10000)
+          ELSE '' END AS t
+      FROM documents)
+    SELECT doc_id,
+      len(regexp_extract_all(t, '{email}')) AS n_emails,
+      len(regexp_extract_all(t, '{ipv4}')) AS n_ips,
+      len(regexp_extract_all(t, '{phone}')) AS n_phones,
+      regexp_replace(regexp_replace(regexp_replace(t,
+        '{email}', '<EMAIL>', 'g'),
+        '{ipv4}', '<IP>', 'g'),
+        '{phone}', '<PHONE>', 'g') AS scrubbed
+    FROM base
+    """
+
+
 def _q50_collectd(spark, sf):
     """parser.Collectd: binary protocol packets (synthesized per event)
     decoded 1→N; per-plugin metric aggregates."""
@@ -1295,6 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_dup_spans": _q57_dup_spans,
         "q58_packing": _q58_packing,
         "q59_contamination": _q59_contamination,
+        "q60_pii_scrub": _q60_pii_scrub,
     }
 
 
@@ -1928,6 +1985,7 @@ def oracle_sql() -> dict[str, str]:
         "q57_dup_spans": _oracle_dup_spans(),
         "q58_packing": _oracle_packing(),
         "q59_contamination": _oracle_contamination(),
+        "q60_pii_scrub": _oracle_pii_scrub(),
         "q52_repetition": r"""
             WITH b AS (
               SELECT doc_id,

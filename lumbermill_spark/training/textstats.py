@@ -241,3 +241,48 @@ def unigram_surprisal(
         F.round(F.sum(F.col("k") * F.col("s")) / F.sum("k"), round_to)
         .alias("mean_surprisal"),
     )
+
+
+#: Redaction patterns: deliberately lookahead-free so the same regex
+#: runs identically on Java (Spark) and RE2 (DuckDB oracle) engines.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\b\d{3}[- ]\d{3,4}[- ]\d{4}\b",
+}
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Training-data PII redaction pass: replace emails, IPv4 addresses
+    and phone-shaped digit groups with typed placeholders
+    (``<EMAIL>``/``<IP>``/``<PHONE>``) and report per-doc match counts.
+
+    All pure JVM regexp_replace / regexp_count — no Python in the path,
+    embarrassingly parallel, no shuffle. Counts are measured on the
+    ORIGINAL text per category (before any replacement), so categories
+    never steal each other's matches; replacement applies email → ip →
+    phone in that order.
+
+    Output: input columns + ``out_col`` (default ``<text_col>_scrubbed``)
+    + n_emails, n_ips, n_phones.
+    """
+    tgt = out_col or f"{text_col}_scrubbed"
+    src = F.col(text_col)
+    counts = {
+        "n_emails": PII_PATTERNS["email"],
+        "n_ips": PII_PATTERNS["ipv4"],
+        "n_phones": PII_PATTERNS["phone"],
+    }
+    out = df
+    for name, pat in counts.items():
+        out = out.withColumn(
+            name, F.size(F.regexp_extract_all(src, F.lit(pat), F.lit(0))))
+    scrubbed = F.regexp_replace(src, PII_PATTERNS["email"], "<EMAIL>")
+    scrubbed = F.regexp_replace(scrubbed, PII_PATTERNS["ipv4"], "<IP>")
+    scrubbed = F.regexp_replace(scrubbed, PII_PATTERNS["phone"], "<PHONE>")
+    return out.withColumn(tgt, scrubbed)

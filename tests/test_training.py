@@ -478,3 +478,22 @@ def test_contamination_stats(spark):
     assert abs(out[10]["contamination"] - 0.5) < 1e-9
     assert out[11]["n_hits"] == 0 and out[11]["contamination"] == 0.0
     assert out[12]["n_grams"] == 0 and out[12]["contamination"] == 0.0
+
+
+def test_scrub_pii(spark):
+    df = spark.createDataFrame(
+        [(1, "mail me at bob.smith+x@corp.example.org today"),
+         (2, "server 192.168.001.42 then call 555-123-4567 twice"),
+         (3, "nothing sensitive here at all"),
+         (4, "two mails: a@b.io c@d.net and ip 10.0.0.1")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textstats.scrub_pii(df).collect()}
+    assert out[1]["n_emails"] == 1 and "<EMAIL>" in out[1]["text_scrubbed"]
+    assert "bob" not in out[1]["text_scrubbed"]
+    assert out[2]["n_ips"] == 1 and out[2]["n_phones"] == 1
+    assert "<IP>" in out[2]["text_scrubbed"]
+    assert "<PHONE>" in out[2]["text_scrubbed"]
+    assert out[3]["n_emails"] == out[3]["n_ips"] == out[3]["n_phones"] == 0
+    assert out[3]["text_scrubbed"] == out[3]["text"]
+    assert out[4]["n_emails"] == 2 and out[4]["n_ips"] == 1
+    assert out[4]["text_scrubbed"] == "two mails: <EMAIL> <EMAIL> and ip <IP>"
