@@ -58,6 +58,9 @@ def main() -> None:
         "doc_id", "mean_surprisal")
     docs = docs.join(spans, on="doc_id").join(surp, on="doc_id", how="left")
 
+    # 5b. PII redaction: kept docs ship the scrubbed text
+    docs = textstats.scrub_pii(docs)
+
     keep = ((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5)
             & (F.col("dup_fraction") < 0.8))
     sinks = [
