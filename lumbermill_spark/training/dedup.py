@@ -541,12 +541,20 @@ def simhash_pairs(
     max_hamming: int = 3,
     bits: int = 64,
     hash_expr=None,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
     Candidates via 4-chunk banding (pigeonhole: distance ≤ 3 guarantees
     one identical chunk — recall is exactly 1, not probabilistic),
     verified with bit_count(xor). Output: (id_a, id_b, hamming).
+
+    Chunk buckets larger than ``max_bucket`` are dropped — the same
+    degenerate-content guard as :func:`minhash_lsh_pairs`. Empty /
+    boilerplate docs all vote to the same fingerprint, so one chunk
+    value can otherwise collect billions of members at corpus scale and
+    the candidate set goes quadratic. Those clusters are exact-dup
+    clusters and belong to :func:`exact_dedup`, not SimHash.
     """
     fps = simhash(df, text_col, id_col, bits, hash_expr=hash_expr)
     nchunks = 4
@@ -566,14 +574,42 @@ def simhash_pairs(
             ])
         ).alias("_c"),
     ).select("_id", "simhash", "_c.chunk", "_c.cval")
-    a = chunks.select(F.col("chunk"), F.col("cval"),
-                      F.col("_id").alias("id_a"), F.col("simhash").alias("_fa"))
-    b = chunks.select(F.col("chunk"), F.col("cval"),
-                      F.col("_id").alias("id_b"), F.col("simhash").alias("_fb"))
+    # bucket members as a capped set (one partial-aggregated shuffle);
+    # sort_array over struct(id, fp) orders by id, so slice-pairing
+    # below yields id_a < id_b by construction — no post-filter join.
+    buckets = (
+        chunks.groupBy("chunk", "cval")
+        .agg(
+            F.sort_array(
+                F.collect_set(
+                    F.struct(F.col("_id").alias("id"),
+                             F.col("simhash").alias("fp"))
+                )
+            ).alias("members")
+        )
+        .filter((F.size("members") > 1) & (F.size("members") <= max_bucket))
+    )
     cand = (
-        a.join(b, ["chunk", "cval"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_fa", "_fb")
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("members"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("members"), i + 2,
+                                    F.size("members")),
+                            lambda y: F.struct(
+                                x["id"].alias("id_a"),
+                                y["id"].alias("id_b"),
+                                x["fp"].alias("_fa"),
+                                y["fp"].alias("_fb"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("_p")
+        )
+        .select("_p.id_a", "_p.id_b", "_p._fa", "_p._fb")
         .distinct()
     )
     ham = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb")))

@@ -94,6 +94,26 @@ def test_simhash_and_pairs(docs):
     assert any(r["id_a"] == 1 and r["id_b"] == 2 for r in pairs)
 
 
+def test_simhash_pairs_degenerate_bucket_capped(spark):
+    # 10k identical-fingerprint docs would be ~50M candidate pairs with
+    # an uncapped chunk join; the max_bucket guard drops the bucket and
+    # the call completes instantly with zero pairs.
+    n = 10_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("same boilerplate text repeated everywhere").alias("text"),
+    )
+    capped = dedup.simhash_pairs(df, max_bucket=100)
+    assert capped.count() == 0
+    # small clusters below the cap still pair up
+    small = spark.createDataFrame(
+        [(i, "identical tiny doc") for i in range(4)],
+        "doc_id long, text string",
+    )
+    got = {(r["id_a"], r["id_b"]) for r in dedup.simhash_pairs(small).collect()}
+    assert got == {(a, b) for a in range(4) for b in range(4) if a < b}
+
+
 @pytest.fixture(scope="module")
 def vecs(spark):
     rows = [
