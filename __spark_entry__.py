@@ -1044,7 +1044,10 @@ def _q55_image_decode(spark, sf):
         out = []
         for i, u, val in zip(eid, uid, v):
             w, h = int(i) % 16 + 1, int(u) % 8 + 1
-            fill = int(val) % 256
+            # abs() before the modulo: Python % is sign-of-divisor,
+            # DuckDB % is sign-of-dividend — abs makes both agree even
+            # if a future generator emits negative values
+            fill = abs(int(val)) % 256
             out.append(encode_png(np.full((h, w), fill, dtype=np.uint8)))
         return pd.Series(out)
 
@@ -1063,7 +1066,7 @@ def _oracle_image_decode() -> str:
       CAST(event_id % 16 + 1 AS INTEGER) AS width,
       CAST(user_id % 8 + 1 AS INTEGER) AS height,
       CAST(1 AS INTEGER) AS channels,
-      round((CAST(floor(value) AS BIGINT) % 256) / 255.0, 6) AS mean_luma
+      round((abs(CAST(floor(value) AS BIGINT)) % 256) / 255.0, 6) AS mean_luma
     FROM events WHERE event_id < 200
     """
 
@@ -1258,6 +1261,122 @@ def _oracle_pii_scrub() -> str:
     """
 
 
+def _q61_pack_blocks(spark, sf):
+    """Assembled GPT-style training blocks (packing.pack_blocks): the
+    2048-token slices of the doc_id-ordered (tokens + EOS) stream,
+    value-checked per block via md5 of the comma-joined token array.
+    Complements q58 (stats only): this proves the assembled ARRAYS are
+    byte-identical to the window-cumsum twin, not just the offsets."""
+    from lumbermill_spark.training import packing
+
+    tok = _events_token_table(spark, sf)
+    blocks = packing.pack_blocks(tok, block_size=2048, id_col="doc_id",
+                                 eos_token=0)
+    return blocks.select(
+        "block_id",
+        F.size("tokens").cast("bigint").alias("n_tokens"),
+        F.md5(F.concat_ws(
+            ",", F.transform(F.col("tokens"),
+                             lambda t: t.cast("string")))).alias("block_md5"),
+    )
+
+
+def _oracle_pack_blocks() -> str:
+    return rf"""
+    WITH tok AS (
+      SELECT printf('doc-%012d', event_id) AS doc_id,
+        {_SQL_TOK_LINE} AS line
+      FROM events
+    ), t2 AS (
+      SELECT doc_id,
+        list_append(list_transform(generate_series(1, length(line)),
+                                   i -> ascii(line[i])), 0) AS toks,
+        length(line) + 1 AS l
+      FROM tok
+    ), off AS (
+      SELECT doc_id, toks, l,
+        coalesce(sum(l) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+      FROM t2
+    ), bl AS (
+      SELECT toks, s, l, s + l - 1 AS e,
+        unnest(generate_series(CAST(floor(s / 2048.0) AS BIGINT),
+                               CAST(floor((s + l - 1) / 2048.0) AS BIGINT)))
+          AS block_id
+      FROM off
+    ), pieces AS (
+      SELECT block_id, s,
+        toks[(greatest(s, block_id * 2048) - s + 1)
+             :(least(e, (block_id + 1) * 2048 - 1) - s + 1)] AS piece
+      FROM bl
+    ), asm AS (
+      SELECT block_id, flatten(list(piece ORDER BY s)) AS tokens
+      FROM pieces GROUP BY block_id)
+    SELECT block_id, CAST(len(tokens) AS BIGINT) AS n_tokens,
+           md5(array_to_string(tokens, ',')) AS block_md5
+    FROM asm
+    """
+
+
+def _q62_video_frames(spark, sf):
+    """Video frame-sampling as a first-class oracle-checked op:
+    uncompressed YUV4MPEG2 clips synthesized in-query from events
+    columns (bundled pure-stdlib codec, functions/y4m_lite), sampled by
+    frame_sample(codec='real') every 3rd frame; each sampled frame's
+    grayscale-PNG payload is then re-decoded by decode_images to prove
+    the video→image handoff. The DuckDB twin derives frame indices,
+    dims and luma structurally (q55 recipe — the container format is
+    not SQL-expressible, the field values still hash-check)."""
+    ev = _t(spark, sf, "events").filter(F.col("event_id") < 200)
+
+    @F.pandas_udf("binary")
+    def _clip(eid: pd.Series, uid: pd.Series, v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from lumbermill_spark.functions.y4m_lite import encode_y4m
+        out = []
+        for i, u, val in zip(eid, uid, v):
+            n = int(i) % 7 + 1            # 1..7 frames
+            w, h = int(u) % 8 + 2, int(u) % 4 + 2
+            fill0 = abs(int(val)) % 250   # sign-stable vs SQL twin
+            out.append(encode_y4m(
+                [np.full((h, w), (fill0 + k) % 256, dtype=np.uint8)
+                 for k in range(n)],
+                colorspace="mono"))
+        return pd.Series(out)
+
+    media = ev.select(
+        F.col("event_id").cast("string").alias("media_id"),
+        _clip(F.col("event_id"), F.col("user_id"),
+              F.floor("value").cast("long")).alias("payload"))
+    frames = multimodal.frame_sample(media, every_n=3, codec="real")
+    feats = multimodal.decode_images(
+        frames.select(F.concat_ws("#", "media_id", "frame_idx")
+                      .alias("media_id"), "payload"),
+        codec="real")
+    parts = F.split(F.col("media_id"), "#")
+    return feats.select(
+        parts[0].alias("media_id"),
+        parts[1].cast("int").alias("frame_idx"),
+        "width", "height", "mean_luma")
+
+
+def _oracle_video_frames() -> str:
+    return """
+    WITH f AS (
+      SELECT event_id, user_id, value,
+        unnest(generate_series(0, CAST(event_id % 7 AS BIGINT), 3)) AS k
+      FROM events WHERE event_id < 200)
+    SELECT CAST(event_id AS VARCHAR) AS media_id,
+      CAST(k AS INTEGER) AS frame_idx,
+      CAST(user_id % 8 + 2 AS INTEGER) AS width,
+      CAST(user_id % 4 + 2 AS INTEGER) AS height,
+      round(((abs(CAST(floor(value) AS BIGINT)) % 250 + k) % 256)
+            / 255.0, 6) AS mean_luma
+    FROM f
+    """
+
+
 def _q50_collectd(spark, sf):
     """parser.Collectd: binary protocol packets (synthesized per event)
     decoded 1→N; per-plugin metric aggregates."""
@@ -1352,6 +1471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_packing": _q58_packing,
         "q59_contamination": _q59_contamination,
         "q60_pii_scrub": _q60_pii_scrub,
+        "q61_pack_blocks": _q61_pack_blocks,
+        "q62_video_frames": _q62_video_frames,
     }
 
 
@@ -1986,6 +2107,8 @@ def oracle_sql() -> dict[str, str]:
         "q58_packing": _oracle_packing(),
         "q59_contamination": _oracle_contamination(),
         "q60_pii_scrub": _oracle_pii_scrub(),
+        "q61_pack_blocks": _oracle_pack_blocks(),
+        "q62_video_frames": _oracle_video_frames(),
         "q52_repetition": r"""
             WITH b AS (
               SELECT doc_id,

@@ -6,10 +6,12 @@ mapInPandas partitioning, metadata propagation. IMAGE decode and resize
 are REAL: Pillow when importable, else the bundled pure-stdlib PNG
 codec (functions/png_lite — 8-bit gray/RGB/RGBA, all row filters), so
 ``codec='real'`` executes even in this library-free container for PNG
-payloads. Only VIDEO frame-sampling remains a stub (no container codec
-and no stdlib fallback exists for H.264 et al.); ``codec='fake'``
-stays as the deterministic payload-hash pseudo-codec for tests and
-benchmarks over non-image payloads.
+payloads. VIDEO frame-sampling is likewise REAL for uncompressed
+YUV4MPEG2 payloads via the bundled pure-stdlib parser
+(functions/y4m_lite); compressed codecs (H.264/VP9) would need
+ffmpeg/PyAV and raise. ``codec='fake'`` stays as the deterministic
+payload-hash pseudo-codec for tests and benchmarks over arbitrary
+payloads.
 
 Design notes for 100 TB of media:
 - binary payloads ride in parquet/Iceberg BINARY columns; Spark never
@@ -193,27 +195,59 @@ def resize(df: DataFrame, width: int, height: int,
 resize_stub = resize
 
 
-def frame_sample_stub(df: DataFrame, every_n: int = 30,
-                      codec: str = "real") -> DataFrame:
-    """Video frame-sampling plumbing (1→N rows per video). Fake codec
-    emits deterministic frame count = size_bytes % 5 + 1."""
+def frame_sample(df: DataFrame, every_n: int = 30,
+                 codec: str = "real") -> DataFrame:
+    """Video frame-sampling (1→N rows per video), mapInPandas.
+
+    codec='real' is REAL for YUV4MPEG2 payloads via the bundled
+    pure-stdlib parser (functions/y4m_lite): frames whose index is a
+    multiple of ``every_n`` are extracted and each sampled frame's luma
+    plane is re-encoded as a grayscale PNG (png_lite), so downstream
+    image stages (decode_images, resize) consume sampled frames
+    unchanged. Y4M is raw planar video — no codec library needed —
+    which is what makes this path executable in this container;
+    compressed containers (H.264/VP9) need ffmpeg/PyAV and raise a
+    Y4MError here. Null payloads produce no rows (1→0).
+
+    codec='fake' keeps the deterministic pseudo-codec for non-video
+    payload plumbing tests: frame count = size_bytes % 5 + 1, payload
+    passed through.
+    """
     out_schema = T.StructType([
         T.StructField("media_id", T.StringType()),
         T.StructField("frame_idx", T.IntegerType()),
         T.StructField("payload", T.BinaryType()),
     ])
+    if codec not in ("real", "fake"):
+        raise ValueError("codec must be 'real' or 'fake'")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from lumbermill_spark.functions import png_lite, y4m_lite
+
         for pdf in batches:
-            if codec == "real":
-                raise NotImplementedError("no video codec in this runtime")
             rows = {"media_id": [], "frame_idx": [], "payload": []}
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                n = len(bytes(p)) % 5 + 1
-                for i in range(n):
+                if p is None:
+                    continue
+                p = bytes(p)
+                if codec == "fake":
+                    n = len(p) % 5 + 1
+                    for i in range(n):
+                        rows["media_id"].append(mid)
+                        rows["frame_idx"].append(i * every_n)
+                        rows["payload"].append(p)
+                    continue
+                for idx, planes in y4m_lite.iter_frames(p):
+                    if idx % every_n:
+                        continue
                     rows["media_id"].append(mid)
-                    rows["frame_idx"].append(i * every_n)
-                    rows["payload"].append(bytes(p))
+                    rows["frame_idx"].append(idx)
+                    rows["payload"].append(png_lite.encode_png(planes[0]))
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, out_schema)
+
+
+#: Backwards-compatible alias from the rounds when frame sampling was a
+#: stub; codec='real' now executes (Y4M payloads).
+frame_sample_stub = frame_sample

@@ -480,6 +480,77 @@ def test_multimodal_null_payload_rows(spark):
     assert png_lite.decode_png(bytes(rz["m1"])).shape == (2, 2)
 
 
+def test_y4m_roundtrip_and_probe():
+    import numpy as np
+
+    from lumbermill_spark.functions import y4m_lite
+
+    frames = [np.full((6, 8), 10 * i, dtype=np.uint8) for i in range(5)]
+    mono = y4m_lite.encode_y4m(frames, colorspace="mono")
+    info = y4m_lite.probe(mono)
+    assert (info["width"], info["height"], info["n_frames"]) == (8, 6, 5)
+    decoded = list(y4m_lite.iter_frames(mono))
+    assert [i for i, _ in decoded] == list(range(5))
+    for i, planes in decoded:
+        assert len(planes) == 1
+        assert (planes[0] == frames[i]).all()
+
+    # 420: chroma planes at quarter size; total frame length checked
+    yuv = [(np.full((6, 8), 50, np.uint8),
+            np.full((3, 4), 100, np.uint8),
+            np.full((3, 4), 200, np.uint8)) for _ in range(2)]
+    p420 = y4m_lite.encode_y4m(yuv, colorspace="420")
+    info = y4m_lite.probe(p420)
+    assert info["colorspace"] == "420" and info["n_frames"] == 2
+    _, planes = next(y4m_lite.iter_frames(p420))
+    assert planes[1].shape == (3, 4) and planes[2][0, 0] == 200
+
+    import pytest as _pt
+    with _pt.raises(y4m_lite.Y4MError):
+        y4m_lite.probe(b"not a video")
+    with _pt.raises(y4m_lite.Y4MError, match="truncated"):
+        y4m_lite.probe(mono[:-5])
+    with _pt.raises(y4m_lite.Y4MError, match="colorspace"):
+        y4m_lite.parse_header(b"YUV4MPEG2 W8 H6 F25:1 C420p10\nFRAME\n")
+
+
+def test_frame_sample_real_y4m(spark):
+    import numpy as np
+
+    from lumbermill_spark.functions import png_lite, y4m_lite
+
+    def clip(n_frames, fill0):
+        return y4m_lite.encode_y4m(
+            [np.full((4, 6), (fill0 + i) % 256, np.uint8)
+             for i in range(n_frames)],
+            colorspace="mono")
+
+    df = spark.createDataFrame(
+        [("v1", bytearray(clip(7, 10))),
+         ("v2", bytearray(clip(2, 99))),
+         ("v3", None)],
+        "media_id string, payload binary")
+    out = multimodal.frame_sample(df, every_n=3, codec="real").collect()
+    got = {(r["media_id"], r["frame_idx"]) for r in out}
+    assert got == {("v1", 0), ("v1", 3), ("v1", 6), ("v2", 0)}
+    # sampled frames are valid grayscale PNGs of the right content
+    by_key = {(r["media_id"], r["frame_idx"]): bytes(r["payload"])
+              for r in out}
+    arr = png_lite.decode_png(by_key[("v1", 3)])
+    assert arr.shape == (4, 6) and (arr == 13).all()
+    # sampled frames feed the image pipeline unchanged
+    frames_df = multimodal.frame_sample(df, every_n=3, codec="real") \
+        .withColumn("media_id", F.concat_ws("#", "media_id", "frame_idx"))
+    feats = {r["media_id"]: r for r in
+             multimodal.decode_images(frames_df, codec="real").collect()}
+    assert abs(feats["v2#0"]["mean_luma"] - 99 / 255) < 1e-6
+    # non-Y4M payload fails fast with a clear error
+    bad = spark.createDataFrame([("x", bytearray(b"mp4data"))],
+                                "media_id string, payload binary")
+    with pytest.raises(Exception, match="YUV4MPEG2"):
+        multimodal.frame_sample(bad, codec="real").collect()
+
+
 def test_contamination_stats(spark):
     train = spark.createDataFrame(
         [(1, "the quick brown fox jumps over the lazy dog"),
