@@ -48,15 +48,24 @@ def frame_sig(cols: list[str], rows: list[tuple]) -> tuple[int, str, str]:
     return len(rows), ",".join(sorted(cols)), h
 
 
-def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark("oracle-check", cores=8)
+def connect_oracle(sf: str):
+    """DuckDB connection with the sf dir's tables registered as views
+    (same names the driver uses)."""
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
         )
+    return con
+
+
+def run_gate(spark, sf: str, only=None, con=None) -> list[str]:
+    """Run the driver-equivalent correctness gate; returns the failing
+    query names. Importable (tests wire this in as a smoke check for
+    queries past the driver gate's 50-query cap — see COVERAGE.md)."""
+    if con is None:
+        con = connect_oracle(sf)
+    only = set(only) if only else None
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
@@ -101,6 +110,14 @@ def main() -> int:
                 for a, b in diffs[:3]:
                     print(f"       spark : {a[:160]}")
                     print(f"       duckdb: {b[:160]}")
+    return failures
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle-check", cores=8)
+    failures = run_gate(spark, sf, only=only)
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
