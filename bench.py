@@ -37,6 +37,23 @@ from lumbermill_spark.session import get_spark  # noqa: E402
 
 TOKEN_PATH = "/tmp/lms_bench/tokens"
 
+_CALIB_ITERS = 20_000_000
+
+
+def calibrate_once() -> float:
+    """Single-core host-load probe: ops/sec of a fixed pure-Python loop
+    (no Spark, no memory traffic). The box's idle reference is recorded
+    in BENCH.md; a bench invocation whose probe lands far below it was
+    running against host load and its wall-times are inflated — the
+    round-3 driver bench was exactly this (2.2x inflation, adjudicated
+    in VERDICT.md). Run twice (before warm-up and after the query
+    sweep) so load arriving mid-run is visible too."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(_CALIB_ITERS):
+        x += i * i
+    return _CALIB_ITERS / (time.perf_counter() - t0)
+
 
 def prepare_tokens(spark, n_rows: int) -> None:
     """Materialize the token table once (generation is not the thing
@@ -123,6 +140,7 @@ def write_pipeline_once(spark) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_rows = int(os.environ.get("LMS_BENCH_ROWS", "2000000"))
+    calib_pre = calibrate_once()
     spark = get_spark("lms-bench")
 
     prepare_tokens(spark, n_rows)
@@ -151,6 +169,7 @@ def main() -> None:
         _dedup.simhash_pairs(docs, max_hamming=3, bits=64).collect()
         query_secs["q21b_simhash_fast"] = round(time.time() - t0, 3)
 
+    calib_post = calibrate_once()
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "flagship_parse_route_aggregate_secs",
@@ -165,6 +184,10 @@ def main() -> None:
     if w is not None:
         out["write_pipeline_secs"] = round(w["secs"], 3)
         out["write_seq_per_sec"] = round(w["n_seq"] / w["secs"], 1)
+    # worst probe = worst host load seen during the run (see BENCH.md
+    # "Load calibration" for the idle reference to compare against)
+    out["calib_ops_per_sec"] = round(min(calib_pre, calib_post))
+    out["calib_pre_post"] = [round(calib_pre), round(calib_post)]
     print(json.dumps(out))
 
 
