@@ -272,11 +272,16 @@ class RegexParser:
               tokens_col: str | None = None,
               drop_tokens: bool = False) -> DataFrame:
         """source: explicit string Column; tokens_col: decode this
-        array<int> column instead (vectorized Arrow decode for the expr
-        engine, in-UDF decode for the arrow engine). drop_tokens=True
+        array<int> column instead (vectorized Arrow batch decode for
+        BOTH engines; mutually exclusive with source). drop_tokens=True
         skips shipping the token arrays back out of the decode stage —
         use it when downstream only needs the parsed fields + n_tok
         (2-4x less Arrow traffic)."""
+        if source is not None and tokens_col is not None:
+            # ambiguous: which column is the line? Historically this fell
+            # through to a per-row bytes() decode inside the parse UDF —
+            # the one code path that dodged the vectorized Arrow decode.
+            raise ValueError("pass either source or tokens_col, not both")
         if self.engine == "expr":
             if source is None and tokens_col:
                 # hot path: vectorized Arrow batch decode (one buffer
@@ -291,18 +296,18 @@ class RegexParser:
             if source is None:
                 source = F.col(self.source_field)
             return self._apply_expr(df, source)
-        if source is None and tokens_col is not None:
+        if tokens_col is not None:
             # same fast decode for the arrow engine: the batch buffer
             # reinterpret beats per-row bytes().decode() inside the
             # parse UDF by an order of magnitude
             decoded = decode_tokens_arrow(df, tokens_col,
                                           out_col="_lms_line",
                                           drop_tokens=drop_tokens)
-            out = self._apply_arrow(decoded, F.col("_lms_line"), None)
+            out = self._apply_arrow(decoded, F.col("_lms_line"))
             return out.drop("_lms_line")
         if source is None:
             source = F.col(self.source_field)
-        return self._apply_arrow(df, source, tokens_col)
+        return self._apply_arrow(df, source)
 
     # ---------------------------- expr engine ------------------------- #
     def _apply_expr(self, df: DataFrame, source: Column) -> DataFrame:
@@ -393,8 +398,7 @@ class RegexParser:
         return out.drop("_rule_idx", "_lms_src", "_lms_prior_et")
 
     # ---------------------------- arrow engine ------------------------ #
-    def _apply_arrow(self, df: DataFrame, source: Column | None,
-                     tokens_col: str | None) -> DataFrame:
+    def _apply_arrow(self, df: DataFrame, source: Column) -> DataFrame:
         rules_spec = [
             (r.event_type, r.py_pattern, r.py_flags(), r.match_type,
              list(r.group_index))
@@ -404,7 +408,6 @@ class RegexParser:
         mark_unmatched = self.mark_unmatched_as
         break_on_match = self.break_on_match
         hot_first = self.hot_rules_first
-        decode = tokens_col is not None
 
         out_fields = [T.StructField("event_type", T.StringType())]
         for fname, kind in field_kinds.items():
@@ -435,15 +438,7 @@ class RegexParser:
 
             etypes: list[str | None] = []
             cols: dict[str, list] = {f: [] for f in fnames}
-            for raw in col:
-                if decode:
-                    if raw is None:
-                        s = None
-                    else:
-                        s = bytes(int(t) & 0xFF for t in raw).decode(
-                            "utf-8", "replace")
-                else:
-                    s = raw
+            for s in col:
                 row_vals: dict[str, object] = {}
                 row_et = None
                 if s is None or not isinstance(s, str):
@@ -479,7 +474,7 @@ class RegexParser:
             data.update(cols)
             return pd.DataFrame(data)
 
-        in_col = F.col(tokens_col) if decode else source
+        in_col = source
         out = df.withColumn("_parsed", parse_batch(in_col))
         # null-source pass-through parity with the reference
         # (Regex.py:152-159): a pre-existing event_type survives

@@ -297,3 +297,19 @@ def test_grok_composites_java_safe(spark):
                              engine="expr", source_field="line")
         row = parser.apply(df).first()
         assert row["event_type"] == name.lower(), name
+
+
+def test_source_and_tokens_col_mutually_exclusive(spark):
+    # both at once used to silently fall back to a per-row bytes()
+    # decode inside the parse UDF (the one non-vectorized decode path);
+    # it is now an explicit error for both engines
+    from pyspark.sql import functions as F
+
+    from lumbermill_spark.operators.regex_parser import RegexParser
+
+    df = spark.createDataFrame([("x", [120])],
+                               "line string, tokens array<int>")
+    for engine in ("expr", "arrow"):
+        parser = RegexParser([{"t": r"(?P<v>x)"}], engine=engine)
+        with pytest.raises(ValueError, match="not both"):
+            parser.apply(df, source=F.col("line"), tokens_col="tokens")
