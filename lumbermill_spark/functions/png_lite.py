@@ -111,15 +111,25 @@ def decode_png(data: bytes) -> np.ndarray:
             cur = line
         elif f == 2:                       # Up: fully vectorized
             cur = (line + prev) & 0xFF
-        elif f in (1, 3, 4):               # Sub/Average/Paeth: sequential
+        elif f == 1:                       # Sub: per-lane cumsum mod 256
+            # recurrence cur[x] = (line[x] + cur[x-ch]) % 256 is an
+            # independent running sum per channel lane; cumsum in int64
+            # then mask — vectorized (mod distributes over addition)
+            cur = (np.cumsum(line.reshape(-1, ch), axis=0,
+                             dtype=np.int64) & 0xFF) \
+                .astype(np.int32).reshape(stride)
+        elif f in (3, 4):                  # Average/Paeth: sequential
+            # floor-div / 3-way predictor break linearity, so these two
+            # stay a per-byte loop — the known slow path for externally
+            # produced PNGs (libpng/Pillow default to adaptive
+            # filtering). Self-encoded PNGs (encode_png) use filter 0
+            # and never hit it; install Pillow for bulk foreign decode.
             cur = np.zeros(stride, dtype=np.int32)
             for x in range(stride):
                 a = cur[x - ch] if x >= ch else 0
                 b = prev[x]
                 c = prev[x - ch] if x >= ch else 0
-                if f == 1:
-                    pred = a
-                elif f == 3:
+                if f == 3:
                     pred = (a + b) // 2
                 else:
                     pred = _paeth(int(a), int(b), int(c))

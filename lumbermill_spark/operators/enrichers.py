@@ -170,6 +170,74 @@ def geo_enrich(
     return out.drop("_geo_pfx")
 
 
+def _ipv4_num(col: Column) -> Column:
+    """dotted-quad string → 32-bit value as long (null if malformed)."""
+    o = F.split(col, r"\.")
+    octets = [F.element_at(o, i).try_cast("long") for i in range(1, 5)]
+    num = None
+    for oc in octets:
+        valid = F.when((oc >= 0) & (oc <= 255), oc)
+        num = valid if num is None else num * 256 + valid
+    return F.when(F.size(o) == 4, num)
+
+
+def geo_enrich_cidr(
+    df: DataFrame,
+    geo_table: DataFrame,
+    source_fields: list[str],
+    target_field: str = "geo_info",
+) -> DataFrame:
+    """AddGeoInfo with true longest-prefix (CIDR) semantics — the
+    maxmind-db match rule (reference AddGeoInfo.py:128-152 resolves via
+    the mmdb trie; :func:`geo_enrich` is the fixed-prefix fast path).
+
+    geo_table: (cidr, <attr columns...>) with ``cidr`` like
+    ``"10.8.0.0/16"`` (no suffix = /32). Plan shape: ONE broadcast left
+    join per DISTINCT prefix length present in the table (≤ 32, a
+    handful in practice), keyed on ``ip >> (32 - len)``; the longest
+    matching length wins per attribute via coalesce. No shuffle of the
+    big side, no row explosion — the joins chain inside one stage. The
+    driver collects only the distinct prefix LENGTHS (≤ 32 values);
+    the geo table itself must be broadcast-small, same contract as
+    geo_enrich. First non-null ip among source_fields wins; unmatched
+    ips keep NULL attrs.
+    """
+    attrs = [c for c in geo_table.columns if c != "cidr"]
+    parts = F.split(F.col("cidr"), "/")
+    plen = F.coalesce(F.element_at(parts, 2).try_cast("int"), F.lit(32))
+    geo = geo_table.select(
+        _ipv4_num(F.element_at(parts, 1)).alias("_net"),
+        plen.alias("_plen"), *attrs,
+    ).filter(F.col("_net").isNotNull()
+             & F.col("_plen").between(0, 32))
+    lengths = sorted(
+        (r["_plen"] for r in geo.select("_plen").distinct().collect()),
+        reverse=True)
+
+    first_ip = F.coalesce(*[F.col(c) for c in source_fields])
+    out = df.withColumn("_ipn", _ipv4_num(first_ip))
+    suffixed: dict[str, list[str]] = {c: [] for c in attrs}
+    for ln in lengths:
+        key = f"_geo_k{ln}"
+        lk = geo.filter(F.col("_plen") == ln).select(
+            F.shiftright(F.col("_net"), 32 - ln).alias(key)
+            if ln else F.lit(0).alias(key),
+            *[F.col(c).alias(f"{c}_{ln}") for c in attrs],
+        ).drop_duplicates([key])
+        out = out.withColumn(
+            key, F.shiftright(F.col("_ipn"), 32 - ln) if ln
+            else F.when(F.col("_ipn").isNotNull(), F.lit(0)))
+        out = out.join(F.broadcast(lk), on=key, how="left").drop(key)
+        for c in attrs:
+            suffixed[c].append(f"{c}_{ln}")
+    out = out.withColumn(
+        target_field,
+        F.struct(*[F.coalesce(*[F.col(s) for s in suffixed[c]]).alias(c)
+                   if suffixed[c] else F.lit(None).alias(c)
+                   for c in attrs]))
+    return out.drop("_ipn", *[s for cols in suffixed.values() for s in cols])
+
+
 # --------------------------------------------------------------------- #
 # dns
 

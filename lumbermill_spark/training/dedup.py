@@ -35,19 +35,33 @@ _P = (1 << 61) - 1
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id",
-                normalize: bool = True) -> DataFrame:
+                normalize: bool = True,
+                keep_nulls: bool = True) -> DataFrame:
     """Keep the lowest-id row per distinct (normalized) text.
 
     groupBy(content) + min_by: one shuffle keyed on the text hash,
     map-side combined. Output keeps every column of the winning row.
+
+    Null-text policy (documented choice): ``keep_nulls=True`` (default)
+    passes null-text rows through untouched — a null means "content
+    unknown", not "content equal", and an upstream extraction bug that
+    nulls a million texts must not silently collapse them to one kept
+    row. ``keep_nulls=False`` treats null as one shared empty content
+    (all null-text docs dedupe together, still distinct from the
+    empty-STRING group).
     """
     key = F.lower(F.trim(F.col(text_col))) if normalize else F.col(text_col)
-    return (
-        df.withColumn("_k", F.sha2(key.cast("string"), 256))
+    hashed = df.withColumn("_k", F.sha2(key.cast("string"), 256))
+    if keep_nulls:
+        nulls = hashed.filter(F.col("_k").isNull()).drop("_k")
+        hashed = hashed.filter(F.col("_k").isNotNull())
+    deduped = (
+        hashed
         .groupBy("_k")
         .agg(F.min_by(F.struct(*df.columns), F.col(id_col)).alias("_row"))
         .select("_row.*")
     )
+    return deduped.unionByName(nulls) if keep_nulls else deduped
 
 
 # --------------------------------------------------------------------- #
@@ -341,6 +355,16 @@ def connected_components(
     ``checkpoint_interval`` rounds the labels are localCheckpoint()ed
     to truncate the lineage (otherwise the plan doubles per round and
     the driver re-optimizes an exponentially growing tree).
+
+    Concurrency: the loop sizes ``spark.sql.shuffle.partitions`` from
+    the measured edge count and restores it in a ``finally``. A SQL
+    conf is session-global, so any query planned on the SAME
+    SparkSession while this runs is planned at the reduced width, and
+    a multi-threaded driver could race the restore. The function
+    therefore assumes exclusive use of its session for the duration;
+    drivers that multiplex concurrent jobs should run CC on an isolated
+    ``spark.newSession()`` (shares the cluster, isolates SQL confs) and
+    build ``pairs`` there.
     """
     from pyspark import StorageLevel
 

@@ -100,8 +100,20 @@ def stream_offsets(
                                     "_start": starts})
 
         # pin: the bases above belong to THIS materialized partitioning;
-        # a recompute could re-sample different range boundaries
-        out = rp.mapInPandas(run, out_schema).localCheckpoint(eager=True)
+        # a recompute could re-sample different range boundaries and
+        # silently shift every _start. localCheckpoint pins to executor
+        # storage only — if an executor dies between the totals collect
+        # and here, a recompute over nondeterministic upstream order
+        # could still diverge. On a real cluster set a checkpoint dir
+        # (sparkContext.setCheckpointDir on reliable storage): the
+        # eager reliable checkpoint below then makes the pinned frame
+        # executor-loss tolerant. Single-JVM local mode (tests, bench)
+        # has no executor loss, so localCheckpoint is exact there.
+        mapped = rp.mapInPandas(run, out_schema)
+        if spark.sparkContext.getCheckpointDir():
+            out = mapped.checkpoint(eager=True)
+        else:
+            out = mapped.localCheckpoint(eager=True)
     finally:
         rp.unpersist()
         sized.unpersist()

@@ -268,6 +268,16 @@ def scrub_pii(
     never steal each other's matches; replacement applies email → ip →
     phone in that order.
 
+    Count semantics caveat: because each category counts against the
+    original text, one substring can be counted by TWO categories
+    (e.g. the phone-shaped local part of ``555-123-4567@x.com``
+    increments both n_emails and n_phones) while the replacement pass
+    consumes it once — so per-category counts can exceed the
+    placeholders present in the scrubbed output. Treat the counts as
+    per-category detection tallies, not as an audit total of emitted
+    placeholders; sum placeholder occurrences in ``out_col`` if you
+    need the latter.
+
     Output: input columns + ``out_col`` (default ``<text_col>_scrubbed``)
     + n_emails, n_ips, n_phones.
     """

@@ -55,6 +55,30 @@ def test_geo_enrich_first_ip_wins(spark):
     assert out[3]["country"] is None
 
 
+def test_geo_enrich_cidr_longest_prefix(spark):
+    ev = spark.createDataFrame(
+        [("10.8.1.5", 1),      # matches /16 and /24 -> /24 wins
+         ("10.8.2.7", 2),      # only the /16
+         ("10.9.0.1", 3),      # only the /8
+         ("172.16.0.1", 4),    # no match -> catch-all /0
+         ("300.1.2.3", 5),     # malformed ip -> null attrs
+         (None, 6)],
+        "ip string, n int")
+    geo = spark.createDataFrame(
+        [("10.0.0.0/8", "net8"), ("10.8.0.0/16", "net16"),
+         ("10.8.1.0/24", "net24"), ("0.0.0.0/0", "default"),
+         ("10.8.1.9", "host32")],
+        "cidr string, label string")
+    out = {r["n"]: r["geo_info"]["label"]
+           for r in enrichers.geo_enrich_cidr(ev, geo, ["ip"]).collect()}
+    assert out == {1: "net24", 2: "net16", 3: "net8", 4: "default",
+                   5: None, 6: None}
+    # exact /32 beats every shorter prefix
+    ev32 = spark.createDataFrame([("10.8.1.9", 9)], "ip string, n int")
+    got = enrichers.geo_enrich_cidr(ev32, geo, ["ip"]).first()
+    assert got["geo_info"]["label"] == "host32"
+
+
 def test_dns_lookup_injected_resolver(spark):
     df = spark.createDataFrame([("a.example",), ("b.example",), ("a.example",)],
                                "host string")

@@ -26,6 +26,20 @@ def test_exact_dedup(docs):
     assert ids == [1, 2, 4, 5]  # 3 collapses into 1
 
 
+def test_exact_dedup_null_text_policy(spark):
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None), (5, "")],
+        "doc_id long, text string")
+    # default: null-text rows pass through (content unknown != equal)
+    kept = sorted(r["doc_id"] for r in dedup.exact_dedup(df).collect())
+    assert kept == [1, 3, 4, 5]
+    # opt-in: nulls dedupe as one shared empty content, still distinct
+    # from the empty-string doc
+    collapsed = sorted(r["doc_id"] for r in
+                       dedup.exact_dedup(df, keep_nulls=False).collect())
+    assert collapsed == [1, 3, 5]
+
+
 def test_word_shingles(spark):
     df = spark.createDataFrame([("a b c d",)], "t string")
     out = df.select(dedup.word_shingles(F.col("t"), 2).alias("s")).first()["s"]
@@ -433,6 +447,25 @@ def test_sequence_packing(spark):
     # every block is exactly C long except the final one
     last = max(blocks)
     assert all(len(v) == C for k, v in blocks.items() if k != last)
+
+
+def test_packing_reliable_checkpoint_path(spark, tmp_path):
+    # with a checkpoint dir configured, stream_offsets pins the offset
+    # frame with a reliable checkpoint (executor-loss tolerant on a
+    # cluster) and produces identical offsets
+    from lumbermill_spark.training import packing
+
+    rows = [(f"d{i:02d}", list(range(i % 5 + 1))) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    plain = {(r["_id"]): (r["_len"], r["_start"])
+             for r in packing.stream_offsets(df).collect()}
+    # SparkContext has no public "unset checkpoint dir"; leaving it set
+    # is fine — later tests just take the (semantically identical)
+    # reliable-checkpoint branch too.
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    reliable = {(r["_id"]): (r["_len"], r["_start"])
+                for r in packing.stream_offsets(df).collect()}
+    assert reliable == plain
 
 
 def test_packing_null_and_empty_tokens(spark):
