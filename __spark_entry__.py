@@ -1409,6 +1409,146 @@ def _q50_collectd(spark, sf):
     )
 
 
+def _q63_gopher_rules(spark, sf):
+    """Gopher-style hard quality rules (training-data curation): each
+    document gets independent boolean rule flags (word-count bounds,
+    mean word length, symbol/bullet/ellipsis ratios, alphabetic-word
+    fraction, stopword presence) plus the conjunction gate. Rule-
+    triggering decorations (bullet lines, ellipsis lines, '#' runs,
+    non-alpha words) are synthesized in-query from doc_id so every
+    rule exercises both outcomes; pure JVM expressions throughout."""
+    docs = _t(spark, sf, "documents")
+    decor = F.element_at(
+        F.array(
+            F.lit("\n- bullet one\n- bullet two\n* bullet three"),
+            F.lit("\nwait...\nhmm…"),
+            F.lit(" ### ##"),
+            F.lit(" zz9 42 17 99 101 23 55 8 61 77"),
+            F.lit(""),
+        ),
+        (F.pmod(F.col("doc_id"), F.lit(5)) + 1).cast("int"))
+    df = docs.select("doc_id",
+                     F.concat(F.col("text"), decor).alias("text"))
+    out = textstats.gopher_rules(df)
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        "mean_word_len", "symbol_word_ratio", "bullet_line_frac",
+        "ellipsis_line_frac", "alpha_word_frac",
+        F.col("stop_hits").cast("bigint").alias("stop_hits"),
+        F.col("gopher_pass").cast("int").alias("gopher_pass"),
+    )
+
+
+def _oracle_gopher_rules() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in textstats.GOPHER_STOPWORDS)
+    return r"""
+    WITH base AS (
+      SELECT doc_id, text ||
+        CASE doc_id % 5
+          WHEN 0 THEN chr(10) || '- bullet one' || chr(10) ||
+                      '- bullet two' || chr(10) || '* bullet three'
+          WHEN 1 THEN chr(10) || 'wait...' || chr(10) || 'hmm…'
+          WHEN 2 THEN ' ### ##'
+          WHEN 3 THEN ' zz9 42 17 99 101 23 55 8 61 77'
+          ELSE '' END AS t
+      FROM documents
+    ), m AS (
+      SELECT doc_id, t,
+        string_split_regex(trim(t), '\s+') AS ws,
+        string_split_regex(t, '\n') AS ls
+      FROM base
+    ), v AS (
+      SELECT doc_id,
+        CAST(len(ws) AS BIGINT) AS n_words,
+        round(CASE WHEN len(ws) > 0 THEN
+          length(regexp_replace(t, '\s+', '', 'g')) * 1.0 / len(ws)
+          ELSE 0.0 END, 6) AS mean_word_len,
+        round(CASE WHEN len(ws) > 0 THEN
+          ((length(t) - length(replace(t, '#', ''))) +
+           (length(t) - length(replace(t, '...', ''))) / 3) * 1.0 / len(ws)
+          ELSE 0.0 END, 6) AS symbol_word_ratio,
+        round(CASE WHEN len(ls) > 0 THEN
+          len(list_filter(ls, x -> regexp_matches(x, '^\s*[-*•]')))
+            * 1.0 / len(ls) ELSE 0.0 END, 6) AS bullet_line_frac,
+        round(CASE WHEN len(ls) > 0 THEN
+          len(list_filter(ls, x -> regexp_matches(x, '(\.\.\.|…)\s*$')))
+            * 1.0 / len(ls) ELSE 0.0 END, 6) AS ellipsis_line_frac,
+        round(CASE WHEN len(ws) > 0 THEN
+          len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+            * 1.0 / len(ws) ELSE 0.0 END, 6) AS alpha_word_frac,
+        CAST(len(list_intersect(
+          list_distinct(list_transform(ws, w -> lower(w))),
+          [__STOPLIST__])) AS BIGINT) AS stop_hits
+      FROM m)
+    SELECT *,
+      CAST(n_words >= 50 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_word_ratio <= 0.1
+        AND bullet_line_frac <= 0.9
+        AND ellipsis_line_frac <= 0.3
+        AND alpha_word_frac >= 0.8
+        AND stop_hits >= 2 AS INTEGER) AS gopher_pass
+    FROM v
+    """.replace("__STOPLIST__", stop_list)
+
+
+def _q64_source_mix(spark, sf):
+    """Deterministic source-mix resampling (training-data curation):
+    target mixture weights derived from the source name, per-source
+    downsampling rates via mix_rates (largest downsample-only total),
+    then a reproducible md5-threshold stratified sample. Output: one
+    row per source with raw count, rate and kept count — the rate
+    table is broadcast, the corpus side never shuffles for the keep
+    decision."""
+    from lumbermill_spark.training import sampling
+
+    docs = _t(spark, sf, "documents")
+    weight = (
+        (F.pmod(F.substring(F.col("source"), 4, 10).cast("int"), F.lit(4))
+         + F.lit(1)) / F.lit(50.0))
+    rates = sampling.mix_rates(docs, "source", weight)
+    kept = (
+        sampling.stratified_sample(docs, "source", rates, id_col="doc_id")
+        .groupBy("source").agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.round(F.col("rate"), 6).alias("rate"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint")
+            .alias("n_kept"),
+        )
+    )
+
+
+def _oracle_source_mix() -> str:
+    return """
+    WITH c AS (
+      SELECT source, count(*) AS n_docs,
+        ((CAST(substr(source, 4) AS INT) % 4) + 1) / 50.0 AS p
+      FROM documents GROUP BY source
+    ), t AS (
+      SELECT min(n_docs / p) AS total FROM c
+    ), r AS (
+      SELECT source, n_docs, p * total / n_docs AS rate FROM c, t
+    ), k AS (
+      SELECT d.source, count(*) AS n_kept
+      FROM documents d JOIN r USING (source)
+      WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix'),
+                                1, 15) AS BIGINT)
+            < rate * 1152921504606846976.0
+      GROUP BY d.source
+    )
+    SELECT r.source, CAST(r.n_docs AS BIGINT) AS n_docs,
+           round(r.rate, 6) AS rate,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM r LEFT JOIN k USING (source)
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_simple_stats": _q01_simple_stats,
@@ -1473,6 +1613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_pii_scrub": _q60_pii_scrub,
         "q61_pack_blocks": _q61_pack_blocks,
         "q62_video_frames": _q62_video_frames,
+        "q63_gopher_rules": _q63_gopher_rules,
+        "q64_source_mix": _q64_source_mix,
     }
 
 
@@ -2109,6 +2251,8 @@ def oracle_sql() -> dict[str, str]:
         "q60_pii_scrub": _oracle_pii_scrub(),
         "q61_pack_blocks": _oracle_pack_blocks(),
         "q62_video_frames": _oracle_video_frames(),
+        "q63_gopher_rules": _oracle_gopher_rules(),
+        "q64_source_mix": _oracle_source_mix(),
         "q52_repetition": r"""
             WITH b AS (
               SELECT doc_id,

@@ -1,0 +1,116 @@
+"""Deterministic source-mix sampling for training-data curation.
+
+A pretraining corpus is a MIXTURE: target proportions per source
+(web / wiki / books / code ...) rarely match the raw crawl counts, so
+the pipeline computes per-source sampling rates that hit the target
+mix using downsampling only, then applies them with a deterministic
+hash-threshold keep decision (NOT ``df.sample`` — rows must keep or
+drop identically across retries, resumed jobs and reruns, or the
+checkpoint/lineage story breaks).
+
+Scale shape: ``mix_rates`` is one groupBy over the strata column
+(#strata output rows — tiny) plus a scalar min folded in via a
+broadcast cross join; ``stratified_sample`` broadcasts the rate table
+onto the corpus and filters with a pure-JVM md5 threshold — no
+shuffle of the fact side, embarrassingly parallel at any corpus size.
+
+The hash is :func:`~lumbermill_spark.training.dedup.md5_hash60`
+(first 15 md5 hex digits as int60) so the keep decision is computable
+bit-identically outside Spark (DuckDB:
+``CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)``) — the whole
+sampling pass is oracle-checkable, and a resumed job re-derives the
+exact same kept set from the data alone.
+
+Reference parity note: the reference's event-stream sampling knob is
+the rate-limited / modulo Throttle path
+(`lumbermill/misc/Throttle.py`); the mixture computation itself has
+no reference analog — it is part of the training-pipeline surface
+this engine adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lumbermill_spark.training.dedup import md5_hash60
+
+TWO_POW_60 = float(1 << 60)
+
+
+def mix_rates(
+    df: DataFrame,
+    strata_col: str,
+    target: dict[str, float] | Column,
+    count_col: str = "n_docs",
+    rate_col: str = "rate",
+) -> DataFrame:
+    """Per-stratum downsampling rates that realize a target mixture.
+
+    ``target`` maps stratum -> desired proportion (must cover every
+    stratum present; proportions need not sum to 1 — they are treated
+    as relative weights). Alternatively pass a Column expression that
+    computes the weight from the strata column (keeps the plan free of
+    a large literal map when weights are derivable).
+
+    With raw counts ``n_s`` and weights ``p_s``, the largest total
+    achievable by downsampling alone is ``T = min_s(n_s / p_s)`` and
+    each stratum keeps ``rate_s = p_s * T / n_s`` (<= 1 by
+    construction; the binding stratum keeps everything). Returns one
+    row per stratum: (strata_col, count_col, rate_col).
+
+    The min folds in via a one-row broadcast cross join — #strata rows
+    total, never corpus-sized.
+    """
+    if isinstance(target, Column):
+        weight = target
+    else:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in target.items() for x in kv])
+        weight = mapping[F.col(strata_col)]
+    counts = (
+        df.groupBy(strata_col)
+        .agg(F.count("*").alias(count_col))
+        .withColumn("_w", weight.cast("double"))
+    )
+    bad = counts.filter(F.col("_w").isNull() | (F.col("_w") <= 0)).limit(1)
+    if bad.count() > 0:
+        missing = bad.collect()[0][strata_col]
+        raise ValueError(
+            f"target mixture has no positive weight for stratum "
+            f"{missing!r}; every stratum present in the data needs one")
+    total = counts.agg(
+        F.min(F.col(count_col) / F.col("_w")).alias("_t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            strata_col,
+            count_col,
+            (F.col("_w") * F.col("_t") / F.col(count_col)).alias(rate_col),
+        )
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    rate_col: str = "rate",
+) -> DataFrame:
+    """Deterministic hash-threshold sample: keep a row iff
+    ``md5_hash60(id || ':' || salt) < rate * 2^60`` for its stratum's
+    rate (``rates`` as produced by :func:`mix_rates`). Changing
+    ``salt`` draws an independent sample; the same salt always
+    reproduces the same kept set.
+
+    The rate table is broadcast (#strata rows) — the corpus side never
+    shuffles. Returns df's columns unchanged, filtered.
+    """
+    key = F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt))
+    return (
+        df.join(F.broadcast(rates.select(strata_col, rate_col)), strata_col)
+        .filter(md5_hash60(key) < F.col(rate_col) * F.lit(TWO_POW_60))
+        .select(*[F.col(c) for c in df.columns])
+    )

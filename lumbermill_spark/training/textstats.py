@@ -296,3 +296,99 @@ def scrub_pii(
     scrubbed = F.regexp_replace(scrubbed, PII_PATTERNS["ipv4"], "<IP>")
     scrubbed = F.regexp_replace(scrubbed, PII_PATTERNS["phone"], "<PHONE>")
     return out.withColumn(tgt, scrubbed)
+
+
+# --------------------------------------------------------------------- #
+# Gopher-style rule filters
+
+# minimal English function-word list for the "has stopwords" rule
+# (Rae et al. 2021 use {the, be, to, of, and, that, have, with})
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with",
+                    "a", "is"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Gopher-style repetition-free quality RULES (Rae et al. 2021,
+    §A1.1): per-document heuristic flags that a pretraining pipeline
+    uses to hard-filter documents before the statistical quality
+    score. Unlike :func:`quality_score` (a soft composite signal),
+    each rule here is an independent boolean with its measured value
+    exposed, so downstream mixing can audit exactly WHY a document was
+    dropped.
+
+    Adds columns:
+      * ``n_words``            whitespace word count
+      * ``mean_word_len``      non-whitespace chars / words
+      * ``symbol_word_ratio``  ('#' + '...' occurrences) / words
+      * ``bullet_line_frac``   lines starting with -, * or • bullets
+      * ``ellipsis_line_frac`` lines ending in ... or …
+      * ``alpha_word_frac``    words containing >=1 [A-Za-z]
+      * ``stop_hits``          distinct GOPHER_STOPWORDS present
+      * ``gopher_pass``        conjunction of all rule thresholds
+
+    All pure JVM expressions (split / filter / length arithmetic) —
+    whole-stage codegen, zero Python, no shuffle: the op costs a
+    projection at any scale and the thresholds are plan literals, so
+    Catalyst folds them. Reference quality filtering lives in the
+    event-stream world as modifier chains
+    (`lumbermill/modifier/Facet.py`, `modifier/Field.py`); this is
+    the curation-pipeline analog over the documents table.
+    """
+    t = F.col(text_col)
+    ws = words(t)
+    lines = F.split(t, r"\n")
+    n_words = F.size(ws)
+    n_lines = F.size(lines)
+    nonws_chars = F.length(F.regexp_replace(t, r"\s+", ""))
+    mean_wl = F.when(n_words > 0,
+                     nonws_chars.cast("double") / n_words).otherwise(0.0)
+    n_hash = (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit(""))))
+    n_ellipsis = (F.length(t)
+                  - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    sym_ratio = F.when(n_words > 0, (n_hash + n_ellipsis).cast("double")
+                       / n_words).otherwise(0.0)
+    bullet_frac = F.when(n_lines > 0, F.size(
+        F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]"))
+    ).cast("double") / n_lines).otherwise(0.0)
+    ellipsis_frac = F.when(n_lines > 0, F.size(
+        F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$"))
+    ).cast("double") / n_lines).otherwise(0.0)
+    alpha_frac = F.when(n_words > 0, F.size(
+        F.filter(ws, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("double") / n_words).otherwise(0.0)
+    stop_hits = F.size(F.array_intersect(
+        distinct_words(t), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])))
+    out = (
+        df.withColumn("n_words", n_words)
+        .withColumn("mean_word_len", F.round(mean_wl, round_to))
+        .withColumn("symbol_word_ratio", F.round(sym_ratio, round_to))
+        .withColumn("bullet_line_frac", F.round(bullet_frac, round_to))
+        .withColumn("ellipsis_line_frac", F.round(ellipsis_frac, round_to))
+        .withColumn("alpha_word_frac", F.round(alpha_frac, round_to))
+        .withColumn("stop_hits", stop_hits)
+    )
+    gate = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("stop_hits") >= min_stop_hits)
+    )
+    return out.withColumn("gopher_pass", gate)

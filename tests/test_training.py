@@ -621,3 +621,73 @@ def test_scrub_pii(spark):
     assert out[3]["text_scrubbed"] == out[3]["text"]
     assert out[4]["n_emails"] == 2 and out[4]["n_ips"] == 1
     assert out[4]["text_scrubbed"] == "two mails: <EMAIL> <EMAIL> and ip <IP>"
+
+
+def test_gopher_rules(spark):
+    rows = [
+        # long, clean english doc with stopwords: passes everything
+        (1, ("the engine and the table are part of a plan that is "
+             "fast to scan ") * 10),
+        # too short
+        (2, "the tiny one is a doc"),
+        # bullet-dominated
+        (3, "the a is\n" + "\n".join("- item %d" % i for i in range(30))),
+        # symbol-heavy
+        (4, "the a of " + "# " * 40),
+        # non-alpha words
+        (5, "the a " + " ".join(str(i) for i in range(60))),
+        (6, ""),  # empty: nothing divides by zero
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textstats.gopher_rules(df).collect()}
+    assert out[1]["gopher_pass"] is True
+    assert out[2]["gopher_pass"] is False and out[2]["n_words"] < 50
+    assert out[3]["gopher_pass"] is False
+    assert out[3]["bullet_line_frac"] > 0.9
+    assert out[4]["gopher_pass"] is False
+    assert out[4]["symbol_word_ratio"] > 0.1
+    assert out[5]["gopher_pass"] is False
+    assert out[5]["alpha_word_frac"] < 0.8
+    assert out[6]["gopher_pass"] is False  # no crash on empty text
+
+
+def test_mix_rates_and_stratified_sample(spark):
+    from lumbermill_spark.training import sampling
+
+    rows = [(i, f"s{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # target: equal thirds; raw counts are already equal -> all rates 1
+    rates = sampling.mix_rates(df, "source",
+                               {"s0": 1 / 3, "s1": 1 / 3, "s2": 1 / 3})
+    for r in rates.collect():
+        assert abs(r["rate"] - 1.0) < 1e-12 and r["n_docs"] == 100
+    # skewed target: s0 twice the weight of the others; s1/s2 bind
+    rates2 = sampling.mix_rates(df, "source",
+                                {"s0": 0.5, "s1": 0.25, "s2": 0.25})
+    by_src = {r["source"]: r["rate"] for r in rates2.collect()}
+    # T = min(100/0.5, 100/0.25) = 200 -> s0 keeps 100%, s1/s2 keep 50%
+    assert abs(by_src["s0"] - 1.0) < 1e-12
+    assert abs(by_src["s1"] - 0.5) < 1e-12
+    kept = sampling.stratified_sample(df, "source", rates2)
+    n = kept.groupBy("source").count().collect()
+    counts = {r["source"]: r["count"] for r in n}
+    assert counts["s0"] == 100              # rate 1.0 keeps everything
+    assert 25 <= counts["s1"] <= 75         # ~50 +- hash noise
+    # determinism: same salt, same kept set
+    again = sampling.stratified_sample(df, "source", rates2)
+    assert sorted(r["doc_id"] for r in kept.collect()) == \
+        sorted(r["doc_id"] for r in again.collect())
+    # different salt draws a different (but same-rate) sample
+    other = sampling.stratified_sample(df, "source", rates2, salt="other")
+    assert sorted(r["doc_id"] for r in other.collect()) != \
+        sorted(r["doc_id"] for r in kept.collect())
+    assert kept.columns == df.columns
+
+
+def test_mix_rates_missing_stratum_raises(spark):
+    from lumbermill_spark.training import sampling
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")],
+                               "doc_id long, source string")
+    with pytest.raises(ValueError, match="no positive weight"):
+        sampling.mix_rates(df, "source", {"a": 1.0})
