@@ -85,6 +85,11 @@ def _events_token_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             ip, user, status, nbytes,
         )
     )
+    from lumbermill_spark.functions.skew import ensure_min_parallelism
+
+    # the sf* events parquet is a single row group → one scan task;
+    # fan out before the tokenize/parse work (no-op on wide inputs)
+    ev = ensure_min_parallelism(ev)
     return ev.select(
         F.format_string("doc-%012d", F.col("event_id")).alias("doc_id"),
         encode_line(line).alias("tokens"),
@@ -681,7 +686,9 @@ def _q41_netflow(spark, sf):
             for e, u, o in zip(eid, uid, oc)
         ])
 
-    ev = _t(spark, sf, "events")
+    from lumbermill_spark.functions.skew import ensure_min_parallelism
+
+    ev = ensure_min_parallelism(_t(spark, sf, "events"))
     df = ev.select(
         F.format_string("d%d", F.col("event_id")).alias("doc_id"),
         _datagram(F.col("event_id"), F.col("user_id"),
@@ -929,7 +936,9 @@ def _q53_grok_combined(spark, sf):
     expected field structurally from the same base columns (q41/q50
     recipe — the composite regex itself uses lookaheads RE2 lacks), so
     each extracted field is still value-checked end-to-end."""
-    ev = _t(spark, sf, "events")
+    from lumbermill_spark.functions.skew import ensure_min_parallelism
+
+    ev = ensure_min_parallelism(_t(spark, sf, "events"))
     ip, user, status, nbytes, corrupt = _line_parts()
     referrer = F.concat(F.lit("https://ref.example/p"),
                         F.pmod(F.col("event_id"), F.lit(7)).cast("string"))
@@ -1393,7 +1402,9 @@ def _q50_collectd(spark, sf):
             for i, u, e, v in zip(eid, uid, et, val)
         ])
 
-    ev = _t(spark, sf, "events")
+    from lumbermill_spark.functions.skew import ensure_min_parallelism
+
+    ev = ensure_min_parallelism(_t(spark, sf, "events"))
     df = ev.select(
         F.format_string("c%d", F.col("event_id")).alias("doc_id"),
         _packet(F.col("event_id"), F.col("user_id"), F.col("event_type"),

@@ -97,3 +97,31 @@ def salted_agg(
         .agg(*part_exprs)
     )
     return partial.groupBy(*keys).agg(*final_exprs)
+
+
+def ensure_min_parallelism(
+    df: DataFrame,
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """Fan-out guard for coarse inputs: round-robin repartition up to
+    the session's default parallelism, ONLY when the current plan is
+    narrower.
+
+    Why: a parquet file with a single row group scans as ONE partition
+    regardless of cluster size (splits land on row-group boundaries),
+    which serializes every downstream explode / regex / decode stage on
+    one task — the CPU-heavy fan-out work that dominates curation ops.
+    At production scale inputs arrive in thousands of splits, the guard
+    reads the partition count off the compiled plan (no job) and
+    returns the frame untouched — so callers pay a real shuffle only in
+    the small-file case, where the data is by definition tiny.
+
+    Deliberately round-robin (not keyed): the consumers explode and
+    immediately partial-aggregate, so placement is irrelevant and
+    round-robin is the even-layout choice.
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

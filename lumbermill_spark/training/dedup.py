@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from lumbermill_spark.functions.skew import ensure_min_parallelism
+
 # Mersenne prime 2^61-1: universal-hash modulus, fits in int64
 _P = (1 << 61) - 1
 
@@ -109,6 +111,7 @@ def ngram_jaccard_pairs(
     """
     from pyspark.sql import Window
 
+    df = ensure_min_parallelism(df)  # single-row-group inputs: fan out
     grams = word_shingles(F.col(text_col), n)
     blk = [F.col(block_col).alias("_blk")] if block_col else []
     blk_names = ["_blk"] if block_col else []
@@ -212,6 +215,7 @@ def minhash_signatures(
     single row per doc before the shuffle, so the shuffle volume is
     O(docs × H), independent of shingle count.
     """
+    df = ensure_min_parallelism(df)  # single-row-group inputs: fan out
     params = _hash_params(num_hashes, seed)
     # NB a tempting rewrite — xxhash64 over the word-slice ARRAY
     # instead of the joined shingle string (skipping the string
@@ -536,6 +540,7 @@ def simhash(
         raise ValueError("bits in (0, 64]")
     if hash_expr is None:
         hash_expr = F.xxhash64
+    df = ensure_min_parallelism(df)  # single-row-group inputs: fan out
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.explode_outer(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_t"),
@@ -669,6 +674,7 @@ def dup_span_stats(
     """
     from pyspark.sql import Window
 
+    df = ensure_min_parallelism(df)  # single-row-group inputs: fan out
     grams = df.select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), n)).alias("g"),
@@ -717,6 +723,8 @@ def contamination_stats(
 
     Output: (id, n_grams, n_hits, contamination).
     """
+    train = ensure_min_parallelism(train)
+    eval_df = ensure_min_parallelism(eval_df)
     tgrams = train.select(
         F.explode(word_shingles(F.col(text_col), n)).alias("g")
     ).distinct().withColumn("_hit", F.lit(1))

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from lumbermill_spark.functions.skew import ensure_min_parallelism
+
 # tiny per-language stopword marker sets (distinct words, lowercase)
 STOPWORDS: dict[str, list[str]] = {
     "en": ["the", "a", "of", "and", "to", "in", "is"],
@@ -133,6 +135,7 @@ def repetition_stats(
     materialization); the 2^-64 collision odds are noise against these
     heuristic signals. All ratios are 0.0 for empty docs.
     """
+    df = ensure_min_parallelism(df)  # single-row-group inputs: fan out
     t = F.trim(F.col(text_col))
     w = F.split(t, r"\s+")
     nonempty = F.when(F.length(t) > 0, w) \
@@ -221,6 +224,7 @@ def unigram_surprisal(
 
     Output: (id, n_words, mean_surprisal).
     """
+    df = ensure_min_parallelism(df)  # single-row-group inputs: fan out
     words = df.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
