@@ -1560,6 +1560,40 @@ def _oracle_source_mix() -> str:
     """
 
 
+def _q65_incremental_dedup(spark, sf):
+    """Incremental ingest dedup (the batch-resume complement of the
+    checkpoint story): even-id documents play the already-committed
+    corpus snapshot (its content-hash set), odd-id documents the new
+    ingest batch. Rows whose content was already committed are dropped
+    via a left-anti hash join, the survivors exact-dedupe within the
+    batch (lowest id wins). The DuckDB twin anti-joins on the
+    normalized text itself — hash equality == text equality, so both
+    engines keep the identical row set."""
+    docs = _t(spark, sf, "documents")
+    prior = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    seen = prior.select(
+        dedup.content_hash(F.col("text")).alias("content_hash"))
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+    kept = dedup.exact_dedup_incremental(batch, seen)
+    return kept.select("doc_id", "source")
+
+
+def _oracle_incremental_dedup() -> str:
+    return """
+    WITH prior AS (
+      SELECT DISTINCT lower(trim(text)) AS k FROM documents
+      WHERE doc_id % 2 = 0
+    ), batch AS (
+      SELECT doc_id, source, lower(trim(text)) AS k FROM documents
+      WHERE doc_id % 2 = 1
+    ), fresh AS (
+      SELECT b.* FROM batch b ANTI JOIN prior p USING (k)
+    )
+    SELECT min(doc_id) AS doc_id, arg_min(source, doc_id) AS source
+    FROM fresh GROUP BY k
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_simple_stats": _q01_simple_stats,
@@ -1626,6 +1660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_video_frames": _q62_video_frames,
         "q63_gopher_rules": _q63_gopher_rules,
         "q64_source_mix": _q64_source_mix,
+        "q65_incremental_dedup": _q65_incremental_dedup,
     }
 
 
@@ -2264,6 +2299,7 @@ def oracle_sql() -> dict[str, str]:
         "q62_video_frames": _oracle_video_frames(),
         "q63_gopher_rules": _oracle_gopher_rules(),
         "q64_source_mix": _oracle_source_mix(),
+        "q65_incremental_dedup": _oracle_incremental_dedup(),
         "q52_repetition": r"""
             WITH b AS (
               SELECT doc_id,

@@ -178,6 +178,45 @@ def throttle_stream(
     )
 
 
+def dedup_stream(
+    df: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str | None = None,
+    normalize: bool = True,
+) -> DataFrame:
+    """Streaming exact dedup — the streaming analog of
+    ``training.dedup.exact_dedup``: drop rows whose (normalized)
+    content hash was already seen, via Spark's built-in stateful
+    ``dropDuplicates`` machinery (state store keyed on the hash, one
+    slim 64-hex entry per distinct content, map-side pre-filtered).
+
+    With ``ts_col`` + ``watermark``, uses
+    ``dropDuplicatesWithinWatermark`` so per-key state EXPIRES once the
+    watermark passes — the only state-bounded form at 10^12-sequence
+    scale (unbounded dropDuplicates state grows with distinct contents
+    forever). Without a watermark, state is unbounded: fine for
+    bounded replays/tests, documented footgun otherwise.
+
+    Semantics difference from the batch op (documented): batch
+    exact_dedup keeps the LOWEST id per content; a stream keeps the
+    FIRST ARRIVAL (arrival order is the stream's identity — there is
+    no "lowest future id" in an infinite stream). Null text hashes to
+    null and ``dropDuplicates`` treats nulls as equal — i.e. streaming
+    follows the batch op's ``keep_nulls=False`` policy; pre-filter
+    nulls upstream if they must pass through.
+    """
+    key = (F.lower(F.trim(F.col(text_col))) if normalize
+           else F.col(text_col))
+    hashed = df.withColumn("_content_hash", F.sha2(key.cast("string"), 256))
+    if ts_col and watermark:
+        out = (hashed.withWatermark(ts_col, watermark)
+               .dropDuplicatesWithinWatermark(["_content_hash"]))
+    else:
+        out = hashed.dropDuplicates(["_content_hash"])
+    return out.drop("_content_hash")
+
+
 def run_throttled_batches(
     df: DataFrame,
     key: str,

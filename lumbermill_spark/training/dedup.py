@@ -35,6 +35,14 @@ _P = (1 << 61) - 1
 # --------------------------------------------------------------------- #
 # exact
 
+def content_hash(text: Column, normalize: bool = True) -> Column:
+    """The canonical content identity used by every exact-dedup path
+    (batch, incremental, streaming): sha256 hex of the (optionally
+    lowercased+trimmed) text. Null text → null hash."""
+    key = F.lower(F.trim(text)) if normalize else text
+    return F.sha2(key.cast("string"), 256)
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id",
                 normalize: bool = True,
@@ -52,8 +60,7 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     (all null-text docs dedupe together, still distinct from the
     empty-STRING group).
     """
-    key = F.lower(F.trim(F.col(text_col))) if normalize else F.col(text_col)
-    hashed = df.withColumn("_k", F.sha2(key.cast("string"), 256))
+    hashed = df.withColumn("_k", content_hash(F.col(text_col), normalize))
     if keep_nulls:
         nulls = hashed.filter(F.col("_k").isNull()).drop("_k")
         hashed = hashed.filter(F.col("_k").isNotNull())
@@ -64,6 +71,39 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
         .select("_row.*")
     )
     return deduped.unionByName(nulls) if keep_nulls else deduped
+
+
+def exact_dedup_incremental(
+    df: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_col: str = "content_hash",
+    normalize: bool = True,
+) -> DataFrame:
+    """Dedupe a NEW ingest batch against an ALREADY-COMMITTED corpus:
+    drop rows whose :func:`content_hash` appears in ``seen`` (one
+    ``hash_col`` column — e.g. ``SELECT content_hash FROM
+    corpus_snapshot``), then exact-dedupe the survivors within the
+    batch (lowest id wins, null texts pass through — same policy as
+    :func:`exact_dedup`).
+
+    This is the batch-resume complement of the checkpoint/lineage
+    story: a pipeline that died mid-ingest replays its input batch
+    against the last committed snapshot's hash set and emits exactly
+    the not-yet-committed rows — no reprocessing, no duplicate commits.
+
+    Plan shape: one left-anti hash join (AQE broadcasts the seen side
+    when it is small; at corpus scale both sides shuffle on the
+    64-hex key, which is uniformly distributed — no skew) plus
+    exact_dedup's single groupBy. Union the kept batch's hashes back
+    into the snapshot table for the next increment.
+    """
+    hashed = df.withColumn("_k", content_hash(F.col(text_col), normalize))
+    fresh = hashed.join(
+        seen.select(F.col(hash_col).alias("_k")).where(F.col("_k").isNotNull()),
+        on="_k", how="left_anti").drop("_k")
+    return exact_dedup(fresh, text_col, id_col, normalize)
 
 
 # --------------------------------------------------------------------- #

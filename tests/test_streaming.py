@@ -166,3 +166,34 @@ def test_stream_merge_sessions(spark, tmp_path):
     assert got[("u2", "2024-01-01 00:00:10")] == ("x", 1)
     # the 00:30 session is beyond the final watermark -> withheld
     assert ("u2", "2024-01-01 00:30:00") not in got
+
+
+def test_stream_dedup_exact(spark, tmp_path):
+    rows = [(1, "the quick brown fox", "2024-01-01 00:00:01"),
+            (2, "THE QUICK BROWN FOX  ", "2024-01-01 00:00:02"),  # dup of 1
+            (3, "something else", "2024-01-01 00:00:03"),
+            (4, "the quick brown fox", "2024-01-01 00:09:00"),    # dup of 1
+            (5, "late unique doc", "2024-01-01 00:09:30")]
+    src_dir = tmp_path / "docs"
+    spark.createDataFrame(rows, "doc_id long, text string, ts_s string") \
+        .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s") \
+        .coalesce(1).write.parquet(str(src_dir))
+    stream = spark.readStream.schema("doc_id long, text string, ts timestamp") \
+        .parquet(str(src_dir))
+
+    # unbounded-state form: one survivor per distinct normalized text
+    out = str(tmp_path / "kept")
+    sp.run_to_parquet(sp.dedup_stream(stream), out, str(tmp_path / "ck1"))
+    got = spark.read.parquet(out).collect()
+    texts = sorted(r["text"].strip().lower() for r in got)
+    assert texts == ["late unique doc", "something else",
+                     "the quick brown fox"]
+    assert {r["doc_id"] for r in got} <= {1, 2, 3, 4, 5}
+
+    # watermarked form: same single-batch input -> same survivors, and
+    # the query runs with state-expiry wiring (the scale path)
+    out2 = str(tmp_path / "kept_wm")
+    sp.run_to_parquet(
+        sp.dedup_stream(stream, ts_col="ts", watermark="5 minutes"),
+        out2, str(tmp_path / "ck2"))
+    assert spark.read.parquet(out2).count() == 3

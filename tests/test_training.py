@@ -691,3 +691,25 @@ def test_mix_rates_missing_stratum_raises(spark):
                                "doc_id long, source string")
     with pytest.raises(ValueError, match="no positive weight"):
         sampling.mix_rates(df, "source", {"a": 1.0})
+
+
+def test_exact_dedup_incremental(spark):
+    committed = spark.createDataFrame(
+        [(1, "alpha doc"), (2, "beta doc")], "doc_id long, text string")
+    seen = committed.select(
+        dedup.content_hash(F.col("text")).alias("content_hash"))
+    batch = spark.createDataFrame(
+        [(10, "ALPHA DOC  "),     # already committed (normalized)
+         (11, "gamma doc"),
+         (12, "gamma doc"),       # in-batch dup of 11
+         (13, None)],             # null text passes through
+        "doc_id long, text string")
+    kept = dedup.exact_dedup_incremental(batch, seen)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [11, 13]
+    # second increment: union the kept hashes, replay the same batch ->
+    # nothing new except the (policy: pass-through) null row
+    seen2 = seen.unionByName(kept.select(
+        dedup.content_hash(F.col("text")).alias("content_hash")))
+    again = dedup.exact_dedup_incremental(batch, seen2)
+    assert sorted(r["doc_id"] for r in again.collect()) == [13]
