@@ -686,9 +686,12 @@ def _q41_netflow(spark, sf):
             for e, u, o in zip(eid, uid, oc)
         ])
 
-    from lumbermill_spark.functions.skew import ensure_min_parallelism
-
-    ev = ensure_min_parallelism(_t(spark, sf, "events"))
+    # NOT fanned out via ensure_min_parallelism: this query chains TWO
+    # Python stages (the synth pandas_udf + the mapInPandas decode) and
+    # 32-way fan-out of that pair measured unstable on the bench box
+    # (1.7s single-task vs 3-17s across invocations at 32 tasks —
+    # Python-worker churn dominates the tiny per-task work)
+    ev = _t(spark, sf, "events")
     df = ev.select(
         F.format_string("d%d", F.col("event_id")).alias("doc_id"),
         _datagram(F.col("event_id"), F.col("user_id"),
@@ -1402,9 +1405,10 @@ def _q50_collectd(spark, sf):
             for i, u, e, v in zip(eid, uid, et, val)
         ])
 
-    from lumbermill_spark.functions.skew import ensure_min_parallelism
-
-    ev = ensure_min_parallelism(_t(spark, sf, "events"))
+    # single-task on purpose — same chained-Python-stage instability
+    # as q41 (see the comment there): pandas_udf synth + mapInPandas
+    # decode at 32-way fan-out intermittently costs 10x in worker churn
+    ev = _t(spark, sf, "events")
     df = ev.select(
         F.format_string("c%d", F.col("event_id")).alias("doc_id"),
         _packet(F.col("event_id"), F.col("user_id"), F.col("event_type"),
