@@ -7,10 +7,13 @@ Stages (each a library operator; see lumbermill_spark/training/):
  1. exact dedup           — hash-groupBy keep-first
  2. near-dup keep-set     — MinHash-LSH pairs → connected components
  3. language filter       — stopword-vote language ID, keep target lang
- 4. quality filter        — length/word/stopword score threshold
+ 4. quality filters       — score threshold + Gopher-style hard rules
  5. corpus signals        — dup-span fraction, unigram surprisal,
                             token counts, doc fingerprints
- 6. routed write          — kept/dropped fan-out with per-sink metrics
+ 6. source-mix resample   — deterministic md5-threshold downsampling
+                            to a target mixture (reproducible across
+                            reruns/resumes)
+ 7. routed write          — kept/dropped fan-out with per-sink metrics
 
 Everything is one lazy DataFrame chain until the final writes: Catalyst
 sees the whole plan, and the write pass carries the per-sink counts via
@@ -26,7 +29,7 @@ from pyspark.sql import functions as F
 
 from lumbermill_spark.router import SinkSpec, route_and_write
 from lumbermill_spark.session import get_spark
-from lumbermill_spark.training import dedup, textstats
+from lumbermill_spark.training import dedup, sampling, textstats
 
 
 def main() -> None:
@@ -44,9 +47,11 @@ def main() -> None:
                                     shingle_n=3, threshold=0.5)
     docs = dedup.dedup_keep_set(docs, pairs)
 
-    # 3+4. language ID + quality score, single pass of column adds
+    # 3+4. language ID + quality score + Gopher hard rules, single
+    # pass of column adds (all pure JVM expressions)
     docs = textstats.detect_language(docs)
     docs = textstats.quality_score(docs)
+    docs = textstats.gopher_rules(docs, min_words=20)
     docs = textstats.token_counts(docs)
     docs = textstats.fingerprint(docs)
 
@@ -62,7 +67,18 @@ def main() -> None:
     docs = textstats.scrub_pii(docs)
 
     keep = ((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5)
-            & (F.col("dup_fraction") < 0.8))
+            & F.col("gopher_pass") & (F.col("dup_fraction") < 0.8))
+
+    # 6. source-mix resample of the keep candidates: equal weight per
+    # source, downsample-only rates, md5-threshold keep decision (the
+    # same rows survive on any rerun/resume — no rand())
+    cand = docs.filter(keep)
+    rates = sampling.mix_rates(cand, "source", F.lit(1.0))
+    sampled_ids = sampling.stratified_sample(
+        cand, "source", rates).select("doc_id", F.lit(1).alias("_in_mix"))
+    docs = docs.join(sampled_ids, on="doc_id", how="left")
+    keep = keep & F.col("_in_mix").isNotNull()
+
     sinks = [
         SinkSpec("kept", keep, path=f"{base}/kept",
                  partition_by=["source"]),
