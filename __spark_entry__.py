@@ -1598,6 +1598,227 @@ def _oracle_incremental_dedup() -> str:
     """
 
 
+def _q66_squeeze_repeats(spark, sf):
+    """Within-document repetition scrub (training-data curation): runs
+    of consecutively repeated words collapse to one occurrence, with
+    the removed fraction reported — the removal counterpart of the
+    repetition *measuring* signals (q52). Pure per-row array
+    expressions: zero shuffle, zero Python."""
+    docs = _t(spark, sf, "documents")
+    out = textstats.squeeze_repeats(docs)
+    return out.select("doc_id", "n_words", "n_kept", "text_squeezed",
+                      "removed_frac")
+
+
+def _oracle_squeeze_repeats() -> str:
+    return r"""
+    WITH m AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(trim(text), '\s+'),
+                    x -> x <> '') AS ws
+      FROM documents
+    ), s AS (
+      SELECT doc_id, ws,
+        list_filter(ws, (x, i) -> i = 1 OR x <> ws[i - 1]) AS kept
+      FROM m)
+    SELECT doc_id,
+      CAST(len(ws) AS BIGINT) AS n_words,
+      CAST(len(kept) AS BIGINT) AS n_kept,
+      array_to_string(kept, ' ') AS text_squeezed,
+      round(CASE WHEN len(ws) > 0 THEN
+        (len(ws) - len(kept)) * 1.0 / len(ws) ELSE 0.0 END, 6)
+        AS removed_frac
+    FROM s
+    """
+
+
+def _q67_vocab_oov(spark, sf):
+    """Tokenizer-prep vocabulary build + per-document OOV rate: the
+    top-20 words by corpus frequency (ties lexicographic — a total
+    order both engines replay) form the vocabulary; every document is
+    scored for the fraction of its tokens outside it. Vocabulary via
+    TakeOrderedAndProject (no full sort), membership via broadcast
+    join — the corpus never shuffles for the test."""
+    from lumbermill_spark.training import tokenize
+
+    docs = _t(spark, sf, "documents")
+    return tokenize.vocab_oov(docs, vocab_size=20)
+
+
+def _oracle_vocab_oov() -> str:
+    return r"""
+    WITH w AS (
+      SELECT doc_id,
+        unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                           x -> x <> '')) AS w
+      FROM documents
+    ), dw AS (
+      SELECT doc_id, w, count(*) AS k FROM w GROUP BY doc_id, w
+    ), c AS (
+      SELECT w, sum(k) AS c FROM dw GROUP BY w
+    ), v AS (
+      SELECT w, 1 AS in_v FROM c ORDER BY c DESC, w LIMIT 20
+    )
+    SELECT dw.doc_id,
+      CAST(sum(dw.k) AS BIGINT) AS n_words,
+      CAST(sum(CASE WHEN v.in_v IS NULL THEN dw.k ELSE 0 END) AS BIGINT)
+        AS n_oov,
+      round(sum(CASE WHEN v.in_v IS NULL THEN dw.k ELSE 0 END) * 1.0
+            / sum(dw.k), 6) AS oov_rate
+    FROM dw LEFT JOIN v ON dw.w = v.w
+    GROUP BY dw.doc_id
+    """
+
+
+def _q68_bpe_pairs(spark, sf):
+    """BPE first-merge statistics (tokenizer training prep): corpus
+    frequencies of adjacent character pairs inside words, top-20 merge
+    candidates with deterministic (count desc, pair asc) rank. The
+    ranking window runs over the aggregated pair table — bounded by
+    alphabet², not corpus size."""
+    from lumbermill_spark.training import tokenize
+
+    docs = _t(spark, sf, "documents")
+    out = tokenize.bpe_pair_stats(docs, top_n=20)
+    return out.select(F.col("left").alias("lhs"),
+                      F.col("right").alias("rhs"), "cnt", "rank")
+
+
+def _oracle_bpe_pairs() -> str:
+    return r"""
+    WITH w AS (
+      SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ), p AS (
+      SELECT substr(w, i, 1) AS lhs, substr(w, i + 1, 1) AS rhs
+      FROM w, unnest(generate_series(1, length(w) - 1)) AS t(i)
+    ), c AS (
+      SELECT lhs, rhs, CAST(count(*) AS BIGINT) AS cnt
+      FROM p GROUP BY lhs, rhs
+    ), r AS (
+      SELECT lhs, rhs, cnt,
+        CAST(row_number() OVER (ORDER BY cnt DESC, lhs, rhs) AS INTEGER)
+          AS rank
+      FROM c)
+    SELECT lhs, rhs, cnt, rank FROM r WHERE rank <= 20
+    """
+
+
+def _q69_bigram_ppl(spark, sf):
+    """CCNet-style LM-perplexity bucketing: per-document mean bigram
+    surprisal under an add-one-smoothed corpus bigram model, bucketed
+    into head/middle/tail terciles by an inverse-CDF cutoff over the
+    rounded score histogram (no exact-percentile single-reducer state,
+    bit-identical in any engine)."""
+    from lumbermill_spark.training import tokenize
+
+    docs = _t(spark, sf, "documents")
+    return tokenize.bigram_surprisal(docs)
+
+
+def _oracle_bigram_ppl() -> str:
+    return r"""
+    WITH m AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(trim(text), '\s+'),
+                    x -> x <> '') AS ws
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      FROM m, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+    ), db AS (
+      SELECT doc_id, w1, w2, count(*) AS k FROM bg GROUP BY doc_id, w1, w2
+    ), c2 AS (
+      SELECT w1, w2, sum(k) AS c2 FROM db GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1
+    ), v AS (
+      SELECT count(*) AS V FROM c1
+    ), sc AS (
+      SELECT db.doc_id, db.k,
+        -log2(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.V AS DOUBLE))
+          AS s
+      FROM db JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    ), pd AS (
+      SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+        round(sum(k * s) / sum(k), 4) AS mean_surprisal
+      FROM sc GROUP BY doc_id
+    ), n AS (SELECT count(*) AS n FROM pd
+    ), hist AS (
+      SELECT mean_surprisal AS ms, count(*) AS hk
+      FROM pd GROUP BY mean_surprisal
+    ), cum AS (
+      SELECT ms, sum(hk) OVER (ORDER BY ms) AS cum FROM hist
+    ), cuts AS (
+      SELECT min(CASE WHEN cum >= n.n / 3.0 THEN ms END) AS t1,
+             min(CASE WHEN cum >= n.n * 2.0 / 3.0 THEN ms END) AS t2
+      FROM cum CROSS JOIN n)
+    SELECT doc_id, n_bigrams, mean_surprisal,
+      CASE WHEN mean_surprisal <= t1 THEN 'head'
+           WHEN mean_surprisal <= t2 THEN 'middle'
+           ELSE 'tail' END AS ppl_bucket
+    FROM pd CROSS JOIN cuts
+    """
+
+
+def _q70_semdedup(spark, sf):
+    """SemDedup-style semantic dedup over embeddings: IVF-cell
+    clustering (deterministic fixed-size md5-sample quantizer — the
+    q51 recipe) then within-cell cosine pairs at threshold 0.4, greedy
+    keep-lowest-id. Quadratic work bounded by cell size (max_cell
+    guard), never corpus size."""
+    emb = _t(spark, sf, "embeddings")
+    out = similarity.semdedup(emb, threshold=0.4, num_centroids=32)
+    return out.select(
+        "vec_id", "cell",
+        F.col("cell_skipped").cast("int").alias("cell_skipped"),
+        F.col("kept").cast("int").alias("kept"),
+    )
+
+
+def _oracle_semdedup() -> str:
+    return """
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32
+    ), base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), sims AS (
+      SELECT b.vec_id, c.centroid_id,
+        list_inner_product(b.v, c.cv)
+          / (sqrt(list_inner_product(b.v, b.v))
+             * sqrt(list_inner_product(c.cv, c.cv))) AS sim
+      FROM base b CROSS JOIN cents c
+    ), ranked AS (
+      SELECT vec_id, centroid_id,
+        row_number() OVER (PARTITION BY vec_id
+                           ORDER BY sim DESC, centroid_id) AS rk
+      FROM sims
+    ), cassign AS (
+      SELECT vec_id, centroid_id AS cell FROM ranked WHERE rk = 1
+    ), sizes AS (
+      SELECT cell, count(*) AS cn FROM cassign GROUP BY cell
+    ), elig AS (
+      SELECT a.vec_id, a.cell, b.v
+      FROM cassign a JOIN sizes s USING (cell) JOIN base b USING (vec_id)
+      WHERE s.cn <= 100000
+    ), drops AS (
+      SELECT DISTINCT y.vec_id
+      FROM elig x JOIN elig y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      WHERE round(list_inner_product(x.v, y.v)
+          / (sqrt(list_inner_product(x.v, x.v))
+             * sqrt(list_inner_product(y.v, y.v))), 6) >= 0.4
+    )
+    SELECT a.vec_id, a.cell,
+      CAST(s.cn > 100000 AS INTEGER) AS cell_skipped,
+      CAST(d.vec_id IS NULL AS INTEGER) AS kept
+    FROM cassign a JOIN sizes s USING (cell)
+    LEFT JOIN drops d ON d.vec_id = a.vec_id
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_simple_stats": _q01_simple_stats,
@@ -1665,6 +1886,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_gopher_rules": _q63_gopher_rules,
         "q64_source_mix": _q64_source_mix,
         "q65_incremental_dedup": _q65_incremental_dedup,
+        "q66_squeeze_repeats": _q66_squeeze_repeats,
+        "q67_vocab_oov": _q67_vocab_oov,
+        "q68_bpe_pairs": _q68_bpe_pairs,
+        "q69_bigram_ppl": _q69_bigram_ppl,
+        "q70_semdedup": _q70_semdedup,
     }
 
 
@@ -2304,6 +2530,11 @@ def oracle_sql() -> dict[str, str]:
         "q63_gopher_rules": _oracle_gopher_rules(),
         "q64_source_mix": _oracle_source_mix(),
         "q65_incremental_dedup": _oracle_incremental_dedup(),
+        "q66_squeeze_repeats": _oracle_squeeze_repeats(),
+        "q67_vocab_oov": _oracle_vocab_oov(),
+        "q68_bpe_pairs": _oracle_bpe_pairs(),
+        "q69_bigram_ppl": _oracle_bigram_ppl(),
+        "q70_semdedup": _oracle_semdedup(),
         "q52_repetition": r"""
             WITH b AS (
               SELECT doc_id,

@@ -410,3 +410,77 @@ def ann_lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    threshold: float = 0.7,
+    num_centroids: int = 32,
+    max_cell: int = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """SemDedup-style semantic deduplication (Abbas et al. 2023):
+    cluster the corpus with the IVF coarse quantizer, then inside each
+    cluster drop every vector that has a LOWER-id neighbor with cosine
+    >= ``threshold`` (greedy keep-lowest, the same keep rule as
+    ``exact_dedup``). Pairwise comparison only ever happens WITHIN a
+    cell, so the quadratic term is bounded by cell size instead of
+    corpus size — the property that makes semantic dedup tractable at
+    10^9+ embeddings where an all-pairs pass cannot run.
+
+    Clustering reuses :func:`ivf_topk`'s deterministic fixed-size
+    quantizer (the ``num_centroids`` rows with smallest md5(id) —
+    replayable by any engine, centroid matrix independent of corpus
+    rows). Cells larger than ``max_cell`` are excluded from pair
+    generation entirely (every member kept, ``cell_skipped`` flag set):
+    a degenerate quantizer region must cost O(max_cell²) at worst, not
+    silently go quadratic — same guard philosophy as
+    ``minhash_lsh_pairs(max_bucket=...)``. The within-cell self-join is
+    an equi-join on cell (shuffle keyed by ``num_centroids`` values;
+    size ``num_centroids`` >= O(cluster cores) in production).
+
+    Output: one row per corpus vector —
+    (id, cell, cell_skipped, kept) with kept=false exactly for the
+    dropped duplicates.
+    """
+    cents = (
+        corpus.select(F.col(id_col).alias("centroid_id"), F.col(vec_col))
+        .orderBy(F.md5(F.col("centroid_id").cast("string").cast("binary")),
+                 F.col("centroid_id"))
+        .limit(num_centroids)
+    )
+    assigned = ivf_assign(
+        corpus.select(F.col(id_col).alias("_id"),
+                      F.col(vec_col).alias("_v")),
+        cents, vec_col="_v", centroid_vec_col=vec_col, n=1,
+    )
+    sizes = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("_cell_n"))
+    flagged = assigned.join(F.broadcast(sizes), on="cell").withColumn(
+        "cell_skipped", F.col("_cell_n") > F.lit(max_cell))
+    eligible = flagged.filter(~F.col("cell_skipped")) \
+        .select("cell", "_id", "_v")
+    a = eligible.select(
+        F.col("cell"), F.col("_id").alias("_ida"), F.col("_v").alias("_va"))
+    b = eligible.select(
+        F.col("cell"), F.col("_id").alias("_idb"), F.col("_v").alias("_vb"))
+    drops = (
+        a.join(b, on="cell")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(F.round(cosine(F.col("_va"), F.col("_vb")), round_to)
+                >= F.lit(threshold))
+        .select(F.col("_idb").alias("_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        flagged.join(drops, on="_id", how="left")
+        .select(
+            F.col("_id").alias(id_col),
+            "cell",
+            "cell_skipped",
+            F.col("_dropped").isNull().alias("kept"),
+        )
+    )

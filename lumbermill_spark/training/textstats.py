@@ -396,3 +396,55 @@ def gopher_rules(
         & (F.col("stop_hits") >= min_stop_hits)
     )
     return out.withColumn("gopher_pass", gate)
+
+
+def squeeze_repeats(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_squeezed",
+    round_to: int = 6,
+) -> DataFrame:
+    """Collapse runs of consecutively repeated words to one occurrence
+    ("the the the cat" -> "the cat") and report how much was removed —
+    the within-document repetition scrub of a curation pipeline
+    (stuttered OCR/ASR output, copy-paste echo, template loops), the
+    removal counterpart to the *measuring* ops in
+    :func:`repetition_stats`.
+
+    Adds: ``n_words`` (bigint), ``n_kept`` (bigint), ``out_col``
+    (scrubbed text), ``removed_frac``.
+
+    Plan shape: pure per-row array expressions — split, a shifted-pair
+    ``zip_with`` mask, ``filter``, ``array_join``. Zero shuffle, zero
+    Python, whole-stage codegen; cost of a projection at any corpus
+    size. The previous-word comparison deliberately uses a row-level
+    shifted array (``slice`` + ``zip_with``) instead of an indexed
+    lambda capturing the outer array, so the split is evaluated O(1)
+    times per row, not once per element. Reference analog: the
+    in-place field rewrites of `lumbermill/modifier/Field.py`
+    (action `replace`), lifted to word-run semantics.
+    """
+    ws = F.filter(words(F.col(text_col)), lambda x: x != F.lit(""))
+    n_words = F.size(ws)
+    # prev[i] = ws[i-1]; prev[0] = null (always kept)
+    prev = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice(ws, 1, F.greatest(n_words - 1, F.lit(0))),
+    )
+    kept = F.filter(
+        F.zip_with(ws, prev,
+                   lambda x, p: F.when(p.isNull() | (x != p), x)),
+        lambda x: x.isNotNull(),
+    )
+    n_kept = F.size(kept)
+    return (
+        df.withColumn("n_words", n_words.cast("bigint"))
+        .withColumn("n_kept", n_kept.cast("bigint"))
+        .withColumn(out_col, F.array_join(kept, " "))
+        .withColumn(
+            "removed_frac",
+            F.round(
+                F.when(n_words > 0,
+                       (n_words - n_kept).cast("double") / n_words)
+                .otherwise(0.0), round_to))
+    )

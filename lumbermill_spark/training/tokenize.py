@@ -1,0 +1,218 @@
+"""Tokenizer- and LM-prep statistics for training-data curation:
+vocabulary building with OOV rates, BPE first-merge pair statistics,
+and bigram-LM surprisal bucketing (the CCNet-style perplexity filter).
+
+Everything is count-shaped: explode → partial-aggregated counts →
+bounded joins. The corpus is scanned once per operator; the only
+global state that ever leaves the executors is a fixed-size vocabulary
+/ pair table (TakeOrderedAndProject) or a two-row percentile-cutoff
+frame — nothing scales with corpus rows on the driver. Reference
+analog: the reference's streaming statistics modules
+(`lumbermill/misc/Metrics.py`, `misc/SimpleStats.py`) compute windowed
+field statistics over event streams; these are the corpus-level
+equivalents a pretraining pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lumbermill_spark.functions.skew import ensure_min_parallelism
+from lumbermill_spark.training.textstats import words
+
+
+def _word_rows(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(words(F.col(text_col))).alias("w"),
+        ).filter(F.col("w") != "")
+    )
+
+
+def vocab_oov(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Build the top-``vocab_size`` word vocabulary by corpus frequency
+    (ties broken lexicographically — a deterministic total order any
+    engine can replay) and score every document's out-of-vocabulary
+    rate against it: the first step of tokenizer training and a cheap
+    domain-shift signal (high OOV = far from the corpus core).
+
+    Plan: one scan → per-(doc, word) partial-aggregated counts; global
+    word counts from that slim frame; the vocabulary itself is
+    ``orderBy(count desc, word).limit(K)`` which Spark plans as
+    TakeOrderedAndProject (per-partition top-K merge — no full sort,
+    driver holds K rows); the per-doc join back is an explicit
+    ``broadcast`` (K rows) so the corpus side never shuffles for the
+    membership test. Documents with zero words produce no row (no
+    bigrams to score), mirrored by the SQL twin.
+
+    Output: (id, n_words, n_oov, oov_rate).
+    """
+    dw = (
+        _word_rows(ensure_min_parallelism(df), text_col, id_col)
+        .groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint(eager=True)
+    )
+    vocab = (
+        dw.groupBy("w").agg(F.sum("k").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w"))
+        .limit(vocab_size)
+        .select("w", F.lit(1).alias("_in_vocab"))
+    )
+    joined = dw.join(F.broadcast(vocab), on="w", how="left")
+    return (
+        joined.groupBy(id_col).agg(
+            F.sum("k").alias("n_words"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), F.col("k"))
+                  .otherwise(F.lit(0))).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.round(F.col("n_oov").cast("double") / F.col("n_words"),
+                    round_to))
+    )
+
+
+def bpe_pair_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 20,
+) -> DataFrame:
+    """Corpus-wide adjacent character-pair frequencies inside words —
+    the statistic the first BPE merge step maximizes (Sennrich et al.
+    2016). Emits the ``top_n`` merge candidates with a deterministic
+    rank (count desc, then pair lexicographically).
+
+    Plan: one scan → explode words → explode per-word character pairs
+    (a ``sequence``/``transform`` projection, empty for 1-char words)
+    → partial-aggregated pair counts. The ranking window runs over the
+    AGGREGATED pair table — at most alphabet² rows regardless of
+    corpus size — so the single-partition window is a constant-size
+    final step, not a scale hazard.
+
+    Output: (left, right, cnt, rank).
+    """
+    w = F.col("w")
+    pairs = F.when(
+        F.length(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length(w) - 1),
+            lambda i: F.struct(
+                w.substr(i, F.lit(1)).alias("left"),
+                w.substr(i + 1, F.lit(1)).alias("right"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<left:string,right:string>>"))
+    counted = (
+        ensure_min_parallelism(df)
+        .select(F.explode(words(F.col(text_col))).alias("w"))
+        .filter(F.col("w") != "")
+        .select(F.explode(pairs).alias("p"))
+        .select("p.left", "p.right")
+        .groupBy("left", "right").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rank_w = Window.orderBy(F.col("cnt").desc(), F.col("left"),
+                            F.col("right"))
+    return (
+        counted.withColumn("rank",
+                           F.row_number().over(rank_w).cast("int"))
+        .filter(F.col("rank") <= top_n)
+        .select("left", "right", F.col("cnt").cast("bigint").alias("cnt"),
+                "rank")
+    )
+
+
+def bigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-document mean bigram surprisal under an add-one-smoothed
+    corpus bigram LM, bucketed into head/middle/tail terciles — the
+    CCNet-style (Wenzek et al. 2020) perplexity filter that pretraining
+    pipelines use to keep the most in-distribution text: ``head`` =
+    lowest surprisal (most LM-predictable), ``tail`` = highest.
+
+    Model: P(w2|w1) = (c(w1,w2) + 1) / (c1(w1) + V), where c1 counts
+    w1 as a conditioning context (bigram-left occurrences) and V is
+    the number of distinct contexts — the self-consistent add-one
+    conditional (rows of the smoothed matrix sum to 1). Surprisal is
+    -log2 P; the per-doc score is the occurrence-weighted mean.
+
+    Plan: ONE corpus scan — per-doc adjacent word pairs from a shifted
+    ``zip_with`` projection collapse immediately to per-(doc, w1, w2)
+    counts, eagerly localCheckpoint()ed; corpus bigram counts, context
+    counts, V, and the tercile cutoffs all derive from that slim frame.
+    Joins shuffle on the bigram / context keys (linear, partial-agg'd
+    both sides); V and the cutoffs are one-row broadcasts. Tercile
+    cutoffs use the inverse-CDF definition (smallest ROUNDED score s
+    with cumulative count >= p·n) computed from a histogram of the
+    rounded per-doc scores — a group-by whose cardinality is bounded
+    by the rounding grid, not by document count, so no exact-percentile
+    single-reducer state and bit-identical replay in any engine.
+    Documents with fewer than two words have no bigrams and produce no
+    row (mirrored by the SQL twin).
+
+    Output: (id, n_bigrams, mean_surprisal, ppl_bucket).
+    """
+    ws = F.filter(words(F.col(text_col)), lambda x: x != F.lit(""))
+    nxt = F.concat(F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))),
+                   F.array(F.lit(None).cast("string")))
+    bigrams = F.filter(
+        F.zip_with(ws, nxt, lambda a, b: F.struct(a.alias("w1"),
+                                                  b.alias("w2"))),
+        lambda p: p["w2"].isNotNull(),
+    )
+    db = (
+        ensure_min_parallelism(df)
+        .select(F.col(id_col), F.explode(bigrams).alias("b"))
+        .select(id_col, "b.w1", "b.w2")
+        .groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint(eager=True)
+    )
+    c2 = db.groupBy("w1", "w2").agg(F.sum("k").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    v = c1.agg(F.count(F.lit(1)).alias("V"))
+    scored = (
+        db.join(c2, on=["w1", "w2"])
+        .join(c1, on="w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            id_col, "k",
+            (-F.log2((F.col("c2") + 1)
+                     / (F.col("c1") + F.col("V")))).alias("s"))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("k").alias("n_bigrams"),
+        F.round(F.sum(F.col("k") * F.col("s")) / F.sum("k"), round_to)
+        .alias("mean_surprisal"),
+    )
+    hist = per_doc.groupBy("mean_surprisal") \
+        .agg(F.count(F.lit(1)).alias("hk"))
+    cum_w = Window.orderBy("mean_surprisal") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.withColumn("cum", F.sum("hk").over(cum_w)) \
+        .crossJoin(F.broadcast(per_doc.agg(
+            F.count(F.lit(1)).alias("n"))))
+    cuts = cum.agg(
+        F.min(F.when(F.col("cum") >= F.col("n") / 3.0,
+                     F.col("mean_surprisal"))).alias("t1"),
+        F.min(F.when(F.col("cum") >= F.col("n") * 2.0 / 3.0,
+                     F.col("mean_surprisal"))).alias("t2"),
+    )
+    return per_doc.crossJoin(F.broadcast(cuts)).select(
+        id_col,
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        "mean_surprisal",
+        F.when(F.col("mean_surprisal") <= F.col("t1"), F.lit("head"))
+        .when(F.col("mean_surprisal") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail")).alias("ppl_bucket"),
+    )

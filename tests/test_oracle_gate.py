@@ -10,7 +10,7 @@ hash vs the DuckDB twin, tools/check_oracle.py) for every entry beyond
 position 50, at the driver's gate scale (sf0.01), on every pytest run.
 
 Queries q01–q50 are intentionally NOT re-checked here: the driver
-already covers them each round and re-running the full 66-query gate
+already covers them each round and re-running the full 70-query gate
 would double the test-suite wall time for zero new signal.
 """
 

@@ -1,0 +1,125 @@
+"""Tokenizer/LM-prep ops (training/tokenize.py), the repetition scrub
+(textstats.squeeze_repeats) and semantic dedup (similarity.semdedup)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lumbermill_spark.training import similarity, textstats, tokenize
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the the the cat sat sat on the mat", "a"),
+        (2, "a b b b c", "a"),
+        (3, "unique words only here", "b"),
+        (4, "", "b"),
+        (5, "solo", "b"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_squeeze_repeats(docs):
+    out = {r["doc_id"]: r for r in textstats.squeeze_repeats(docs).collect()}
+    assert out[1]["text_squeezed"] == "the cat sat on the mat"
+    assert out[1]["n_words"] == 9 and out[1]["n_kept"] == 6
+    assert out[1]["removed_frac"] == pytest.approx(3 / 9, abs=1e-6)
+    assert out[2]["text_squeezed"] == "a b c"
+    assert out[3]["text_squeezed"] == "unique words only here"
+    assert out[3]["removed_frac"] == 0.0
+    # empty text: zero words, empty output, frac 0 (no division blowup)
+    assert out[4]["n_words"] == 0 and out[4]["text_squeezed"] == ""
+    assert out[4]["removed_frac"] == 0.0
+    assert out[5]["text_squeezed"] == "solo" and out[5]["n_kept"] == 1
+
+
+def test_vocab_oov(docs):
+    # corpus counts: the=4 b=3 sat=2 a=1 c=1 cat=1 here=1 mat=1 on=1
+    # only=1 solo=1 unique=1 words=1 ; top-3 vocab = {the, b, sat}
+    out = {r["doc_id"]: r
+           for r in tokenize.vocab_oov(docs, vocab_size=3).collect()}
+    assert out[1]["n_words"] == 9
+    assert out[1]["n_oov"] == 3  # cat, on, mat
+    assert out[3]["n_oov"] == 4  # everything OOV
+    assert out[3]["oov_rate"] == 1.0
+    assert 4 not in out  # empty doc: no words, no row
+    # ties at count 1 break lexicographically: vocab_size=4 adds 'a'
+    out4 = {r["doc_id"]: r
+            for r in tokenize.vocab_oov(docs, vocab_size=4).collect()}
+    assert out4[2]["n_oov"] == 1  # only 'c' remains OOV
+
+
+def test_bpe_pair_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "abab abab xy"), (2, "ab x")], "doc_id long, text string")
+    out = tokenize.bpe_pair_stats(df, top_n=3).collect()
+    by_rank = {r["rank"]: (r["left"], r["right"], r["cnt"]) for r in out}
+    # 'ab' pairs: abab has a-b twice + b-a once, twice per doc1 word,
+    # plus 'ab' in doc2 -> a-b count 5, b-a count 2, x-y count 1
+    assert by_rank[1] == ("a", "b", 5)
+    assert by_rank[2] == ("b", "a", 2)
+    assert by_rank[3] == ("x", "y", 1)
+    # 1-char words contribute nothing (no crash on sequence(1, 0))
+
+
+def test_bigram_surprisal_model(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "z")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in tokenize.bigram_surprisal(df).collect()}
+    # bigrams: doc1 (a,b)x2 (b,a)x1, doc2 (a,b) (b,c); c2(a,b)=3
+    # c1(a)=3 c1(b)=2, V=2 contexts {a,b}
+    # s(a,b) = -log2(4/5); s(b,a) = -log2(2/4); s(b,c) = -log2(2/4)
+    import math
+    s_ab = -math.log2(4 / 5)
+    s_ba = 1.0
+    d1 = (2 * s_ab + s_ba) / 3
+    d2 = (s_ab + s_ba) / 2
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["mean_surprisal"] == pytest.approx(d1, abs=1e-4)
+    assert out[2]["mean_surprisal"] == pytest.approx(d2, abs=1e-4)
+    assert 3 not in out  # single-word doc: no bigrams, no row
+    # d1 < d2 -> doc1 is the head tercile, doc2 the tail (n=2)
+    assert out[1]["ppl_bucket"] == "head"
+    assert out[2]["ppl_bucket"] in ("middle", "tail")
+
+
+def test_semdedup(spark):
+    # two tight clusters plus one outlier; ids chosen so the md5-sample
+    # quantizer picks centroids from both clusters (num_centroids=2)
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.99, 0.14, 0.0]),   # near-dup of 1 (cos ~ 0.99)
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.98, 0.2]),    # near-dup of 3
+        (5, [0.0, 0.0, 1.0]),     # outlier
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r
+           for r in similarity.semdedup(df, threshold=0.95,
+                                        num_centroids=5).collect()}
+    assert len(out) == 5
+    # with one cell per vector possible, near-dups only drop when they
+    # share a cell; with num_centroids=5 every vector IS a centroid so
+    # each sits in its own cell -> nothing dropped
+    assert all(r["kept"] for r in out.values())
+    out2 = {r["vec_id"]: r
+            for r in similarity.semdedup(df, threshold=0.95,
+                                         num_centroids=2).collect()}
+    dropped = sorted(v for v, r in out2.items() if not r["kept"])
+    kept = sorted(v for v, r in out2.items() if r["kept"])
+    # greedy keep-lowest: the higher id of each co-located near-dup
+    # pair drops; nothing else does
+    assert all(r["cell_skipped"] is False for r in out2.values())
+    assert set(dropped).issubset({2, 4})
+    assert 1 in kept and 3 in kept and 5 in kept
+
+
+def test_semdedup_max_cell_guard(spark):
+    rows = [(i, [1.0, 0.0]) for i in range(10)]  # all identical
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.semdedup(df, threshold=0.5, num_centroids=1,
+                              max_cell=5).collect()
+    # the one cell exceeds max_cell: pair generation skipped entirely,
+    # everything kept and flagged
+    assert all(r["cell_skipped"] and r["kept"] for r in out)
