@@ -242,3 +242,33 @@ def test_resize_real_codec(spark):
     assert (out["width"], out["height"]) == (5, 6)
     back = png_lite.decode_png(bytes(out["payload"]))
     assert back.shape == (6, 5, 3)
+
+
+def test_iceberg_option_wiring():
+    from lumbermill_spark.iceberg import iceberg_catalog_conf, read_options
+
+    c = iceberg_catalog_conf(catalog="lm", warehouse="file:///tmp/w")
+    assert c == {
+        "spark.sql.catalog.lm": "org.apache.iceberg.spark.SparkCatalog",
+        "spark.sql.catalog.lm.type": "hadoop",
+        "spark.sql.catalog.lm.warehouse": "file:///tmp/w",
+    }
+    # non-hadoop catalogs carry no warehouse key
+    assert "spark.sql.catalog.h.warehouse" not in iceberg_catalog_conf(
+        catalog="h", catalog_type="hive")
+    assert read_options(snapshot_id=42) == {"snapshot-id": "42"}
+    assert read_options(as_of_ms=1700000000000) == {
+        "as-of-timestamp": "1700000000000"}
+    assert read_options() == {}
+    with pytest.raises(ValueError, match="not both"):
+        read_options(snapshot_id=1, as_of_ms=2)
+
+
+def test_iceberg_fails_fast_without_jar(spark):
+    from lumbermill_spark.iceberg import read_table, write_table
+
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        read_table(spark, "lm.db.tokens")
+    df = spark.range(1)
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        write_table(df, "lm.db.tokens")
