@@ -190,11 +190,14 @@ def bigram_surprisal(
             (-F.log2((F.col("c2") + 1)
                      / (F.col("c1") + F.col("V")))).alias("s"))
     )
+    # one slim row per doc, consumed THREE times (scores out, score
+    # histogram, doc count) — materialize once or the join pipeline
+    # above re-executes per consumer (verified in the physical plan)
     per_doc = scored.groupBy(id_col).agg(
         F.sum("k").alias("n_bigrams"),
         F.round(F.sum(F.col("k") * F.col("s")) / F.sum("k"), round_to)
         .alias("mean_surprisal"),
-    )
+    ).localCheckpoint(eager=True)
     hist = per_doc.groupBy("mean_surprisal") \
         .agg(F.count(F.lit(1)).alias("hk"))
     cum_w = Window.orderBy("mean_surprisal") \
