@@ -451,11 +451,14 @@ def semdedup(
                  F.col("centroid_id"))
         .limit(num_centroids)
     )
+    # materialize the assignment once: it feeds FOUR consumers (cell
+    # sizes, both self-join sides, the final keep join) and the Arrow
+    # matmul UDF would otherwise re-run per consumer
     assigned = ivf_assign(
         corpus.select(F.col(id_col).alias("_id"),
                       F.col(vec_col).alias("_v")),
         cents, vec_col="_v", centroid_vec_col=vec_col, n=1,
-    )
+    ).localCheckpoint(eager=True)
     sizes = assigned.groupBy("cell").agg(
         F.count(F.lit(1)).alias("_cell_n"))
     flagged = assigned.join(F.broadcast(sizes), on="cell").withColumn(
