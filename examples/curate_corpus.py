@@ -6,10 +6,14 @@ pipeline a data-curation team would run at 100 TB, on the sf test data.
 Stages (each a library operator; see lumbermill_spark/training/):
  1. exact dedup           — hash-groupBy keep-first
  2. near-dup keep-set     — MinHash-LSH pairs → connected components
- 3. language filter       — stopword-vote language ID, keep target lang
- 4. quality filters       — score threshold + Gopher-style hard rules
+ 3. repetition scrub      — consecutive word runs collapsed in-place
+                            (text_squeezed becomes the shipped text)
+ 4. language filter       — stopword-vote language ID, keep target lang
+    + quality filters     — score threshold + Gopher-style hard rules
  5. corpus signals        — dup-span fraction, unigram surprisal,
-                            token counts, doc fingerprints
+                            bigram-LM perplexity terciles (the CCNet
+                            gate: tail bucket dropped), token counts,
+                            doc fingerprints
  6. source-mix resample   — deterministic md5-threshold downsampling
                             to a target mixture (reproducible across
                             reruns/resumes)
@@ -29,7 +33,7 @@ from pyspark.sql import functions as F
 
 from lumbermill_spark.router import SinkSpec, route_and_write
 from lumbermill_spark.session import get_spark
-from lumbermill_spark.training import dedup, sampling, textstats
+from lumbermill_spark.training import dedup, sampling, textstats, tokenize
 
 
 def main() -> None:
@@ -47,6 +51,12 @@ def main() -> None:
                                     shingle_n=3, threshold=0.5)
     docs = dedup.dedup_keep_set(docs, pairs)
 
+    # 3. within-doc repetition scrub — zero-shuffle array expressions;
+    # the scrubbed text is what ships (and what later signals score)
+    docs = textstats.squeeze_repeats(docs)
+    docs = (docs.drop("text")
+            .withColumnRenamed("text_squeezed", "text"))
+
     # 3+4. language ID + quality score + Gopher hard rules, single
     # pass of column adds (all pure JVM expressions)
     docs = textstats.detect_language(docs)
@@ -61,13 +71,19 @@ def main() -> None:
     spans = dedup.dup_span_stats(docs, n=8).select("doc_id", "dup_fraction")
     surp = textstats.unigram_surprisal(docs).select(
         "doc_id", "mean_surprisal")
-    docs = docs.join(spans, on="doc_id").join(surp, on="doc_id", how="left")
+    ppl = tokenize.bigram_surprisal(docs).select("doc_id", "ppl_bucket")
+    docs = (docs.join(spans, on="doc_id")
+            .join(surp, on="doc_id", how="left")
+            .join(ppl, on="doc_id", how="left"))
 
     # 5b. PII redaction: kept docs ship the scrubbed text
     docs = textstats.scrub_pii(docs)
 
     keep = ((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5)
-            & F.col("gopher_pass") & (F.col("dup_fraction") < 0.8))
+            & F.col("gopher_pass") & (F.col("dup_fraction") < 0.8)
+            # CCNet-style LM gate: drop the least-predictable tercile
+            # (docs too short for bigrams keep the benefit of the doubt)
+            & (F.coalesce(F.col("ppl_bucket"), F.lit("head")) != "tail"))
 
     # 6. source-mix resample of the keep candidates: equal weight per
     # source, downsample-only rates, md5-threshold keep decision (the
