@@ -424,7 +424,10 @@ def squeeze_repeats(
     in-place field rewrites of `lumbermill/modifier/Field.py`
     (action `replace`), lifted to word-run semantics.
     """
-    ws = F.filter(words(F.col(text_col)), lambda x: x != F.lit(""))
+    # null text behaves as empty (size(null) is -1 non-ANSI / null
+    # ANSI — normalize before any arithmetic)
+    ws = F.filter(words(F.coalesce(F.col(text_col), F.lit(""))),
+                  lambda x: x != F.lit(""))
     n_words = F.size(ws)
     # prev[i] = ws[i-1]; prev[0] = null (always kept)
     prev = F.concat(

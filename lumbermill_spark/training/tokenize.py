@@ -97,6 +97,12 @@ def bpe_pair_stats(
     corpus size — so the single-partition window is a constant-size
     final step, not a scale hazard.
 
+    Character indexing uses code points on the Spark side; engines
+    that index UTF-16 units would diverge on astral-plane characters
+    (emoji) — the DuckDB twin indexes code points too, so parity holds
+    for any Unicode text, but byte-oriented reimplementations should
+    note it.
+
     Output: (left, right, cnt, rank).
     """
     w = F.col("w")

@@ -33,6 +33,16 @@ def test_squeeze_repeats(docs):
     assert out[5]["text_squeezed"] == "solo" and out[5]["n_kept"] == 1
 
 
+def test_squeeze_repeats_null_text(spark):
+    df = spark.createDataFrame([(1, None), (2, "x x")],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textstats.squeeze_repeats(df).collect()}
+    # null text behaves as empty, never size(null) arithmetic
+    assert out[1]["n_words"] == 0 and out[1]["text_squeezed"] == ""
+    assert out[1]["removed_frac"] == 0.0
+    assert out[2]["text_squeezed"] == "x"
+
+
 def test_vocab_oov(docs):
     # corpus counts: the=4 b=3 sat=2 a=1 c=1 cat=1 here=1 mat=1 on=1
     # only=1 solo=1 unique=1 words=1 ; top-3 vocab = {the, b, sat}
