@@ -1819,6 +1819,56 @@ def _oracle_semdedup() -> str:
     """
 
 
+def _q71_kmeans_refine(spark, sf):
+    """One Lloyd refinement round of the IVF quantizer (the clustering
+    primitive behind ANN/SemDedup cells): md5-sample init (q51 recipe),
+    Arrow-matmul assignment, then per-(cell, position) partial-agg
+    means re-assembled with a deterministic sort — shuffle volume
+    O(centroids × dim), never corpus-sized; empty cells keep their
+    prior centroid."""
+    emb = _t(spark, sf, "embeddings")
+    return similarity.kmeans_refine(emb, num_centroids=32, n_iter=1)
+
+
+def _oracle_kmeans_refine() -> str:
+    return """
+    WITH cents AS (
+      SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32
+    ), base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), sims AS (
+      SELECT b.vec_id, c.cell,
+        list_inner_product(b.v, c.cv)
+          / (sqrt(list_inner_product(b.v, b.v))
+             * sqrt(list_inner_product(c.cv, c.cv))) AS sim
+      FROM base b CROSS JOIN cents c
+    ), cassign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+          row_number() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, cell) AS rk
+        FROM sims) WHERE rk = 1
+    ), vals AS (
+      SELECT a.cell, t.i AS pos, b.v[t.i] AS val
+      FROM cassign a JOIN base b USING (vec_id),
+           unnest(generate_series(1, len(b.v))) AS t(i)
+    ), means AS (
+      SELECT cell, pos, avg(val) AS m, count(*) AS n
+      FROM vals GROUP BY cell, pos
+    ), agg AS (
+      SELECT cell, list(round(m, 6) ORDER BY pos) AS centroid,
+             max(n) AS n_members
+      FROM means GROUP BY cell)
+    SELECT c.cell,
+      coalesce(a.centroid,
+               list_transform(c.cv, x -> round(x, 6))) AS centroid,
+      CAST(coalesce(a.n_members, 0) AS BIGINT) AS n_members
+    FROM cents c LEFT JOIN agg a USING (cell)
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_simple_stats": _q01_simple_stats,
@@ -1891,6 +1941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_bpe_pairs": _q68_bpe_pairs,
         "q69_bigram_ppl": _q69_bigram_ppl,
         "q70_semdedup": _q70_semdedup,
+        "q71_kmeans_refine": _q71_kmeans_refine,
     }
 
 
@@ -2535,6 +2586,7 @@ def oracle_sql() -> dict[str, str]:
         "q68_bpe_pairs": _oracle_bpe_pairs(),
         "q69_bigram_ppl": _oracle_bigram_ppl(),
         "q70_semdedup": _oracle_semdedup(),
+        "q71_kmeans_refine": _oracle_kmeans_refine(),
         "q52_repetition": r"""
             WITH b AS (
               SELECT doc_id,

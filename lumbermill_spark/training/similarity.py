@@ -487,3 +487,82 @@ def semdedup(
             F.col("_dropped").isNull().alias("kept"),
         )
     )
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    num_centroids: int = 32,
+    n_iter: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Lloyd refinement of the deterministic IVF quantizer: start from
+    the fixed-size md5-sample centroids (the q51 recipe), then for each
+    of ``n_iter`` rounds (a) assign every vector to its nearest
+    centroid by cosine and (b) replace each centroid with the
+    element-wise mean of its members. One or two rounds noticeably
+    tighten the cells the ANN / SemDedup paths probe; the sample init
+    keeps the whole procedure deterministic and replayable in SQL
+    (no RNG, ties broken by centroid id then position).
+
+    Plan per round: one Arrow-matmul assignment pass over the corpus
+    (no shuffle — broadcast centroid matrix), then ``posexplode`` of
+    the member vectors to (cell, pos, val) rows collapsing into
+    per-(cell, pos) partial-aggregated means — shuffle volume is
+    O(num_centroids × dim), never corpus-sized — and re-assembly via
+    ``array_sort(collect_list(struct(pos, val)))`` (deterministic
+    order without relying on shuffle arrival order). Empty cells keep
+    their previous centroid (classic Lloyd convention), implemented as
+    a left join back to the prior round's frame.
+
+    Output: (cell, centroid array<double>, n_members) after the final
+    refinement, rounded to ``round_to`` for cross-engine comparison.
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter >= 1")
+    cents = (
+        corpus.select(F.col(id_col).alias("centroid_id"), F.col(vec_col))
+        .orderBy(F.md5(F.col("centroid_id").cast("string").cast("binary")),
+                 F.col("centroid_id"))
+        .limit(num_centroids)
+    )
+    vecs = corpus.select(F.col(id_col).alias("_id"),
+                         F.col(vec_col).cast("array<double>").alias("_v"))
+    prior = cents.select(
+        F.col("centroid_id").alias("cell"),
+        F.col(vec_col).cast("array<double>").alias("centroid"),
+    )
+    for _ in range(n_iter):
+        assigned = ivf_assign(vecs, prior, vec_col="_v",
+                              centroid_id_col="cell",
+                              centroid_vec_col="centroid", n=1)
+        means = (
+            assigned.select("cell", F.posexplode("_v").alias("pos", "val"))
+            .groupBy("cell", "pos").agg(F.avg("val").alias("m"),
+                                        F.count(F.lit(1)).alias("n"))
+            .groupBy("cell").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"]).alias("centroid"),
+                F.max("n").alias("n_members"),
+            )
+        )
+        # empty cells (no members this round) keep the prior centroid
+        prior = (
+            prior.select("cell", F.col("centroid").alias("_prev"))
+            .join(means, on="cell", how="left")
+            .select(
+                "cell",
+                F.coalesce(F.col("centroid"), F.col("_prev"))
+                .alias("centroid"),
+                F.coalesce(F.col("n_members"), F.lit(0)).alias("n_members"),
+            )
+            .localCheckpoint(eager=True)  # iterative: truncate lineage
+        )
+    return prior.select(
+        "cell",
+        F.transform("centroid", lambda x: F.round(x, round_to))
+        .alias("centroid"),
+        F.col("n_members").cast("bigint").alias("n_members"),
+    )

@@ -133,3 +133,22 @@ def test_semdedup_max_cell_guard(spark):
     # the one cell exceeds max_cell: pair generation skipped entirely,
     # everything kept and flagged
     assert all(r["cell_skipped"] and r["kept"] for r in out)
+
+
+def test_kmeans_refine(spark):
+    # two tight clusters; init picks some rows as centroids, one Lloyd
+    # round moves every surviving centroid to its cluster's mean
+    rows = [(i, [1.0, 0.0]) for i in range(5)] + \
+           [(i, [0.0, 1.0]) for i in range(5, 10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.kmeans_refine(df, num_centroids=2, n_iter=2).collect()
+    assert len(out) == 2
+    assert sum(r["n_members"] for r in out) == 10
+    for r in out:
+        c = r["centroid"]
+        # a refined centroid is the mean of identical member vectors:
+        # exactly one of the two axis vectors (possibly both clusters
+        # landed on one centroid if init drew both from the same side)
+        assert c in ([1.0, 0.0], [0.0, 1.0], [0.5, 0.5])
+    with pytest.raises(ValueError, match="n_iter"):
+        similarity.kmeans_refine(df, n_iter=0)
