@@ -463,17 +463,26 @@ def semdedup(
         F.count(F.lit(1)).alias("_cell_n"))
     flagged = assigned.join(F.broadcast(sizes), on="cell").withColumn(
         "cell_skipped", F.col("_cell_n") > F.lit(max_cell))
+    # hoist the per-vector norm out of the pair loop: norms are two
+    # interpreted folds PER VECTOR here instead of per pair, and the
+    # pair expression stays arithmetically identical to cosine()
+    # (dot / (na*nb) — same double ops, same rounding as the SQL twin)
     eligible = flagged.filter(~F.col("cell_skipped")) \
-        .select("cell", "_id", "_v")
+        .select("cell", "_id", "_v", l2_norm(F.col("_v")).alias("_n"))
     a = eligible.select(
-        F.col("cell"), F.col("_id").alias("_ida"), F.col("_v").alias("_va"))
+        F.col("cell"), F.col("_id").alias("_ida"),
+        F.col("_v").alias("_va"), F.col("_n").alias("_na"))
     b = eligible.select(
-        F.col("cell"), F.col("_id").alias("_idb"), F.col("_v").alias("_vb"))
+        F.col("cell"), F.col("_id").alias("_idb"),
+        F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+    denom = F.col("_na") * F.col("_nb")
+    pair_cos = F.when(denom > 0,
+                      dot(F.col("_va"), F.col("_vb")) / denom) \
+        .otherwise(F.lit(0.0))
     drops = (
         a.join(b, on="cell")
         .filter(F.col("_ida") < F.col("_idb"))
-        .filter(F.round(cosine(F.col("_va"), F.col("_vb")), round_to)
-                >= F.lit(threshold))
+        .filter(F.round(pair_cos, round_to) >= F.lit(threshold))
         .select(F.col("_idb").alias("_id"))
         .distinct()
         .withColumn("_dropped", F.lit(True))
