@@ -1869,6 +1869,119 @@ def _oracle_kmeans_refine() -> str:
     """
 
 
+
+def _q72_quality_classifier(spark, sf):
+    """GPT-3/CCNet-style seed quality classifier: add-one Naive Bayes
+    log-odds trained on a deterministic md5 hash split (buckets <3 of
+    10) with lang='en' as the seed-positive class, scoring EVERY doc.
+    The model is a bounded top-200 vocabulary (TakeOrderedAndProject)
+    broadcast to the scoring side; labels compare the ROUNDED score so
+    the decision replays bit-identically in any engine."""
+    from lumbermill_spark.training.classifier import seed_quality_classifier
+
+    docs = _t(spark, sf, "documents")
+    return seed_quality_classifier(
+        docs, positive=F.col("lang") == "en",
+        train_buckets=3, split_buckets=10, vocab_size=200)
+
+
+def _oracle_quality_classifier() -> str:
+    return r"""
+    WITH tok AS (
+      SELECT doc_id,
+        unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           x -> x <> '')) AS w
+      FROM documents
+    ), train_docs AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+      WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                 AS BIGINT) % 10 < 3
+    ), tw AS (
+      SELECT t.w, sum(d.y) AS cp, sum(1 - d.y) AS cn
+      FROM tok t JOIN train_docs d USING (doc_id) GROUP BY t.w
+    ), model AS (
+      SELECT w, cp, cn FROM tw ORDER BY (cp + cn) DESC, w LIMIT 200
+    ), tot AS (
+      SELECT sum(cp) AS np, sum(cn) AS nn, count(*) AS v FROM model
+    ), prior AS (
+      SELECT sum(y) AS dp, sum(1 - y) AS dn FROM train_docs
+    ), dw AS (
+      SELECT doc_id, w, count(*) AS k FROM tok GROUP BY doc_id, w
+    ), per_doc AS (
+      SELECT dw.doc_id, sum(dw.k) AS n_words,
+        sum(dw.k * (ln((coalesce(m.cp, 0) + 1)
+                       / CAST(t.np + t.v AS DOUBLE))
+                    - ln((coalesce(m.cn, 0) + 1)
+                         / CAST(t.nn + t.v AS DOUBLE)))) AS evidence
+      FROM dw LEFT JOIN model m USING (w) CROSS JOIN tot t
+      GROUP BY dw.doc_id
+    ), scored AS (
+      SELECT d.doc_id,
+        CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
+        round(ln(CAST(pr.dp AS DOUBLE) / pr.dn)
+              + coalesce(p.evidence, 0.0), 4) AS score
+      FROM documents d LEFT JOIN per_doc p USING (doc_id)
+      CROSS JOIN prior pr)
+    SELECT doc_id, n_words, score,
+      CASE WHEN score > 0 THEN 'pos' ELSE 'neg' END AS label
+    FROM scored
+    """
+
+
+def _q73_substring_scrub(spark, sf):
+    """Exact-substring dedup with first-occurrence-kept semantics (Lee
+    et al. 2022 ExactSubstr): every word 8-gram occurrence whose gram
+    appears earlier in corpus order (doc_id, position) is scrubbed;
+    overlapping duplicated grams merge via the covered-index union.
+    One gram-keyed shuffle (window min), linear in total grams."""
+    docs = _t(spark, sf, "documents")
+    return dedup.exact_substring_scrub(docs, k=8)
+
+
+def _oracle_substring_scrub() -> str:
+    return r"""
+    WITH base AS (
+      SELECT doc_id,
+        CASE WHEN coalesce(trim(text), '') = '' THEN CAST([] AS VARCHAR[])
+             ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+      FROM documents
+    ), occ AS (
+      SELECT doc_id, t.i AS pos,
+        array_to_string(w[t.i:t.i + 7], ' ') AS g,
+        doc_id * 1000000 + t.i AS ord
+      FROM base,
+        unnest(generate_series(1, greatest(len(w) - 7, 0))) AS t(i)
+    ), marked AS (
+      SELECT doc_id, pos,
+        ord > min(ord) OVER (PARTITION BY g) AS removed
+      FROM occ
+    ), per_doc AS (
+      SELECT doc_id, count(*) AS n_grams,
+        sum(CASE WHEN removed THEN 1 ELSE 0 END) AS n_removed
+      FROM marked GROUP BY doc_id
+    ), cov AS (
+      SELECT doc_id, count(DISTINCT t.i) AS covered
+      FROM marked, unnest(generate_series(pos, pos + 7)) AS t(i)
+      WHERE removed GROUP BY doc_id
+    ), ntok AS (
+      SELECT doc_id, len(w) AS n_tokens FROM base)
+    SELECT n.doc_id,
+      CAST(n.n_tokens AS BIGINT) AS n_tokens,
+      CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+      CAST(coalesce(p.n_removed, 0) AS BIGINT) AS n_removed_grams,
+      CAST(coalesce(c.covered, 0) AS BIGINT) AS covered_tokens,
+      CAST(n.n_tokens - coalesce(c.covered, 0) AS BIGINT)
+        AS retained_tokens,
+      round(CASE WHEN n.n_tokens > 0
+                 THEN CAST(n.n_tokens - coalesce(c.covered, 0) AS DOUBLE)
+                      / n.n_tokens
+                 ELSE 1.0 END, 6) AS retained_frac
+    FROM ntok n LEFT JOIN per_doc p USING (doc_id)
+    LEFT JOIN cov c USING (doc_id)
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_simple_stats": _q01_simple_stats,
@@ -1942,6 +2055,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_bigram_ppl": _q69_bigram_ppl,
         "q70_semdedup": _q70_semdedup,
         "q71_kmeans_refine": _q71_kmeans_refine,
+        "q72_quality_classifier": _q72_quality_classifier,
+        "q73_substring_scrub": _q73_substring_scrub,
     }
 
 
@@ -2587,6 +2702,8 @@ def oracle_sql() -> dict[str, str]:
         "q69_bigram_ppl": _oracle_bigram_ppl(),
         "q70_semdedup": _oracle_semdedup(),
         "q71_kmeans_refine": _oracle_kmeans_refine(),
+        "q72_quality_classifier": _oracle_quality_classifier(),
+        "q73_substring_scrub": _oracle_substring_scrub(),
         "q52_repetition": r"""
             WITH b AS (
               SELECT doc_id,

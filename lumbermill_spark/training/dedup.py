@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from lumbermill_spark.functions.skew import ensure_min_parallelism
+from lumbermill_spark.training.textstats import words
 
 # Mersenne prime 2^61-1: universal-hash modulus, fits in int64
 _P = (1 << 61) - 1
@@ -789,4 +790,95 @@ def contamination_stats(
                        F.coalesce("n_hits", F.lit(0)) / F.col("n_grams"))
                 .otherwise(F.lit(0.0)), 6).alias("contamination"),
         )
+    )
+
+
+def exact_substring_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact-substring deduplication statistics with FIRST-OCCURRENCE-
+    KEPT semantics (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better", the ExactSubstr variant): every
+    word ``k``-gram occurrence whose identical gram appears EARLIER in
+    the corpus (global order = (doc_id, position)) is marked removed;
+    the tokens covered by at least one removed gram are the scrub set.
+    Unlike ``dup_span_stats`` (a doc-frequency signal on distinct
+    grams) this is positional: within-doc repetition past the first
+    occurrence is scrubbed too, and overlapping duplicated grams merge
+    into spans via the covered-index union rather than double-counting.
+
+    Plan: one scan → positional gram explode; ONE gram-keyed shuffle
+    (window ``min`` over the gram partition finds each gram's global
+    first occurrence — no self-join); removed occurrences then explode
+    to covered token indices and collapse map-side into per-doc
+    distinct-index counts. Linear in total grams at any corpus size —
+    the suffix-array machinery of the paper is replaced by the
+    shuffle, which is what a 1000-executor cluster is good at. Docs
+    shorter than ``k`` tokens scrub nothing (left join + coalesce).
+
+    Output: (id, n_tokens, n_grams, n_removed_grams, covered_tokens,
+    retained_tokens, retained_frac).
+    """
+    from pyspark.sql import Window
+
+    df = ensure_min_parallelism(df)
+    ws = words(F.col(text_col))
+    n_tokens = F.when(
+        F.coalesce(F.length(F.trim(F.col(text_col))), F.lit(0)) == 0,
+        F.lit(0)).otherwise(F.size(ws))  # null text == empty: 0 tokens
+    cnt = F.greatest(n_tokens - (k - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), cnt),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.array_join(F.slice(ws, i, k), " ").alias("g")),
+    )
+    base = df.select(F.col(id_col), n_tokens.alias("n_tokens"))
+    occ = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.when(cnt > 0, grams).otherwise(
+                F.array().cast(
+                    "array<struct<pos:int,g:string>>"))).alias("o"))
+        .select(id_col, F.col("o.pos").alias("pos"),
+                F.col("o.g").alias("g"))
+        .withColumn("ord",
+                    F.col(id_col).cast("long") * 1_000_000 + F.col("pos"))
+    )
+    w = Window.partitionBy("g")
+    marked = occ.withColumn("first_ord", F.min("ord").over(w)) \
+        .withColumn("removed", F.col("ord") > F.col("first_ord"))
+    per_doc = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.col("removed").cast("long")).alias("n_removed_grams"))
+    covered = (
+        marked.filter("removed")
+        .select(id_col,
+                F.explode(F.sequence(F.col("pos"),
+                                     F.col("pos") + (k - 1))).alias("ix"))
+        .groupBy(id_col)
+        .agg(F.count_distinct("ix").alias("covered_tokens"))
+    )
+    out = (
+        base.join(per_doc, on=id_col, how="left")
+        .join(covered, on=id_col, how="left")
+    )
+    retained = F.col("n_tokens") - F.coalesce("covered_tokens", F.lit(0))
+    return out.select(
+        F.col(id_col),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+        F.coalesce("n_removed_grams", F.lit(0)).cast("bigint")
+        .alias("n_removed_grams"),
+        F.coalesce("covered_tokens", F.lit(0)).cast("bigint")
+        .alias("covered_tokens"),
+        retained.cast("bigint").alias("retained_tokens"),
+        F.round(
+            F.when(F.col("n_tokens") > 0,
+                   retained.cast("double") / F.col("n_tokens"))
+            .otherwise(F.lit(1.0)), round_to).alias("retained_frac"),
     )

@@ -713,3 +713,72 @@ def test_exact_dedup_incremental(spark):
         dedup.content_hash(F.col("text")).alias("content_hash")))
     again = dedup.exact_dedup_incremental(batch, seen2)
     assert sorted(r["doc_id"] for r in again.collect()) == [13]
+
+
+def test_exact_substring_scrub(spark):
+    a = "a b c d e f g h i j"                  # 10 tokens, first
+    docs = spark.createDataFrame(
+        [(1, a),
+         (2, a),                               # full dup of 1
+         (3, "x y a b c d e f g h z"),         # shares one 8-gram
+         (4, "p q r"),                         # too short for 8-grams
+         (5, ""),                              # empty
+         (6, None)],                           # null text
+        "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in dedup.exact_substring_scrub(docs, k=8).collect()}
+    assert got[1] == dict(doc_id=1, n_tokens=10, n_grams=3,
+                          n_removed_grams=0, covered_tokens=0,
+                          retained_tokens=10, retained_frac=1.0)
+    assert got[2]["n_removed_grams"] == 3
+    assert got[2]["retained_tokens"] == 0
+    assert got[2]["retained_frac"] == 0.0
+    # doc 3: exactly one duplicated 8-gram ("a b c d e f g h" at pos 3)
+    # -> 8 covered tokens, 3 retained (x, y, z)
+    assert got[3]["n_grams"] == 4
+    assert got[3]["n_removed_grams"] == 1
+    assert got[3]["covered_tokens"] == 8
+    assert got[3]["retained_tokens"] == 3
+    for short_id in (4, 5, 6):
+        assert got[short_id]["n_grams"] == 0
+        assert got[short_id]["retained_frac"] == 1.0
+    assert got[5]["n_tokens"] == 0 and got[6]["n_tokens"] == 0
+
+
+def test_exact_substring_scrub_within_doc(spark):
+    # within-doc repetition past the first occurrence is scrubbed too
+    # (positional semantics, unlike dup_span_stats' doc-frequency)
+    text = " ".join(["t%d" % (i % 8) for i in range(24)])  # 8-cycle x3
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = dedup.exact_substring_scrub(docs, k=8).collect()[0]
+    # grams at pos 1..8 are the distinct rotations; pos 9..17 repeat them
+    assert row["n_grams"] == 17
+    assert row["n_removed_grams"] == 9
+    assert row["retained_tokens"] < row["n_tokens"]
+
+
+def test_seed_quality_classifier(spark):
+    from lumbermill_spark.training.classifier import (
+        hash_split, seed_quality_classifier)
+
+    rows = [(i, "good great fine", "en") for i in range(6)]
+    rows += [(i + 10, "bad awful junk", "zh") for i in range(3)]
+    rows += [(20, "good great fine", None),   # null seed -> negative
+             (21, "", "en"),                  # zero words: bare prior
+             (22, None, "en")]                # null text: bare prior
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = seed_quality_classifier(
+        docs, positive=F.col("lang") == "en",
+        train_buckets=1, split_buckets=1)     # train on everything
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+    assert len(got) == len(rows)
+    assert got[0]["label"] == "pos" and got[0]["score"] > 0
+    assert got[10]["label"] == "neg" and got[10]["score"] < 0
+    # zero-word docs score exactly the class prior (same for both)
+    assert got[21]["n_words"] == 0 and got[22]["n_words"] == 0
+    assert got[21]["score"] == got[22]["score"]
+    # deterministic split: same ids -> same buckets, all in range
+    b1 = docs.select(hash_split(F.col("doc_id")).alias("b")).collect()
+    b2 = docs.select(hash_split(F.col("doc_id")).alias("b")).collect()
+    assert [r["b"] for r in b1] == [r["b"] for r in b2]
+    assert all(0 <= r["b"] < 10 for r in b1)
