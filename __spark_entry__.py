@@ -1982,6 +1982,57 @@ def _oracle_substring_scrub() -> str:
     """
 
 
+def _q74_url_canonical(spark, sf):
+    """Crawl-curation URL canonicalization + URL-level dedup: three
+    deterministic messy-URL families (mixed-case scheme/host, www
+    prefix, default port, duplicate/trailing slashes, tracking params,
+    unsorted query, fragment) collapse to canonical form, then an
+    exact groupBy dedups at URL granularity. The twin derives each
+    family's expected canonical string directly from the base columns,
+    so it independently checks the whole normalization chain."""
+    ev = _t(spark, sf, "events").filter(F.col("event_id") < 600)
+    mod3 = F.pmod(F.col("event_id"), F.lit(3))
+    raw = (
+        F.when(mod3 == 0, F.format_string(
+            "HTTPS://WWW.Shop%d.COM:443//cat/item%d/"
+            "?utm_source=nl&b=%d&a=1#top",
+            F.pmod(F.col("user_id"), F.lit(3)),
+            F.pmod(F.col("event_id"), F.lit(50)),
+            F.pmod(F.col("user_id"), F.lit(7))))
+        .when(mod3 == 1, F.format_string(
+            "http://News.Example.ORG:80/story/%d?id=%d&gclid=xyz",
+            F.pmod(F.col("event_id"), F.lit(40)),
+            F.pmod(F.col("user_id"), F.lit(5))))
+        .otherwise(F.format_string(
+            "https://cdn.example.com:8443/assets/"
+            "?z=%d&y=2&fbclid=f&utm_campaign=c",
+            F.pmod(F.col("event_id"), F.lit(20)))))
+    df = ev.select("event_id", raw.alias("u"))
+    out = parsers.canonicalize_url(df, "u", target_field="canonical_url")
+    return out.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("event_id").alias("first_event"))
+
+
+def _oracle_url_canonical() -> str:
+    return r"""
+    WITH base AS (
+      SELECT event_id,
+        CASE event_id % 3
+          WHEN 0 THEN 'https://shop' || (user_id % 3) || '.com/cat/item'
+                      || (event_id % 50) || '?a=1&b=' || (user_id % 7)
+          WHEN 1 THEN 'http://news.example.org/story/' || (event_id % 40)
+                      || '?id=' || (user_id % 5)
+          ELSE 'https://cdn.example.com:8443/assets?y=2&z='
+               || (event_id % 20)
+        END AS canonical_url
+      FROM events WHERE event_id < 600
+    )
+    SELECT canonical_url, count(*) AS n_rows, min(event_id) AS first_event
+    FROM base GROUP BY canonical_url
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_simple_stats": _q01_simple_stats,
@@ -2057,6 +2108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_kmeans_refine": _q71_kmeans_refine,
         "q72_quality_classifier": _q72_quality_classifier,
         "q73_substring_scrub": _q73_substring_scrub,
+        "q74_url_canonical": _q74_url_canonical,
     }
 
 
@@ -2704,6 +2756,7 @@ def oracle_sql() -> dict[str, str]:
         "q71_kmeans_refine": _oracle_kmeans_refine(),
         "q72_quality_classifier": _oracle_quality_classifier(),
         "q73_substring_scrub": _oracle_substring_scrub(),
+        "q74_url_canonical": _oracle_url_canonical(),
         "q52_repetition": r"""
             WITH b AS (
               SELECT doc_id,

@@ -228,6 +228,64 @@ def encode_url(df: DataFrame, source_field: str,
     return df.withColumn(tgt, F.url_encode(F.col(source_field)))
 
 
+# Tracking parameters stripped by canonicalize_url (crawl-curation
+# convention; any key starting with "utm_" is stripped regardless).
+TRACKING_PARAMS = (
+    "gclid", "fbclid", "msclkid", "dclid", "mc_cid", "mc_eid",
+    "ref", "referrer", "igshid", "spm", "yclid", "_ga",
+)
+
+_DEFAULT_PORTS = {"http": 80, "https": 443, "ftp": 21, "ws": 80, "wss": 443}
+
+
+def canonicalize_url(df: DataFrame, source_field: str,
+                     target_field: str | None = None,
+                     strip_params: tuple[str, ...] = TRACKING_PARAMS,
+                     strip_www: bool = True) -> DataFrame:
+    """Crawl-curation URL canonicalization (extends parser.Url,
+    /root/reference/lumbermill/parser/Url.py:54-86, toward the dedup
+    use-case the reference routes URLs into): lowercase scheme+host,
+    drop fragment and userinfo, drop the scheme's default port,
+    collapse duplicate slashes and the trailing slash in the path
+    (empty path -> "/"), drop tracking query params (utm_* and the
+    strip_params list) and byte-sort the survivors. Two URLs that
+    differ only in those respects map to one canonical string, so an
+    exact groupBy on the result is URL-level dedup. Pure JVM
+    expressions - no shuffle, stays in whole-stage codegen."""
+    tgt = target_field or source_field
+    url = F.col(source_field)
+    scheme = F.lower(F.try_parse_url(url, F.lit("PROTOCOL")))
+    host = F.lower(F.try_parse_url(url, F.lit("HOST")))
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    port = F.regexp_extract(F.try_parse_url(url, F.lit("AUTHORITY")),
+                            r":(\d+)$", 1).try_cast("int")
+    is_default = F.lit(False)
+    for sch, p in _DEFAULT_PORTS.items():
+        is_default = is_default | ((scheme == sch) & (port == p))
+    port_part = F.when(port.isNull() | is_default, F.lit("")).otherwise(
+        F.concat(F.lit(":"), port.cast("string")))
+    path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
+    path = F.regexp_replace(path, r"/{2,}", "/")
+    path = F.regexp_replace(path, r"(.)/$", "$1")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    drop = {k.lower() for k in strip_params}
+    key = lambda p: F.lower(F.split_part(p, F.lit("="), F.lit(1)))  # noqa: E731
+    parts = F.filter(
+        F.split(F.coalesce(F.try_parse_url(url, F.lit("QUERY")), F.lit("")),
+                "&"),
+        lambda p: (p != "") & ~key(p).startswith("utm_")
+        & (~key(p).isin(*sorted(drop)) if drop else F.lit(True)))
+    qnorm = F.array_join(F.array_sort(parts), "&")
+    canon = F.concat(
+        scheme, F.lit("://"), host, port_part, path,
+        F.when(qnorm == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), qnorm)))
+    return df.withColumn(
+        tgt, F.when(scheme.isNull() | host.isNull() | (host == ""),
+                    F.lit(None)).otherwise(canon))
+
+
 # -------------------------------------------------------- SyslogPrival --- #
 # RFC 5424 §6.2.1 tables (public standard; also parser/SyslogPrival.py:67-99)
 RFC5424_FACILITIES = {

@@ -249,3 +249,26 @@ def test_png_lite_roundtrip_and_filters():
     for bad in (b"", b"notapng", good[:len(good) // 2]):
         with _pytest.raises(ValueError):
             pl.decode_png(bad)
+
+
+def test_canonicalize_url(spark):
+    cases = [
+        # case-fold + www strip + default port + dup/trailing slash +
+        # tracking strip + query sort + fragment drop
+        ("HTTPS://WWW.Ex.COM:443//a/b/?utm_source=x&b=2&a=1#f",
+         "https://ex.com/a/b?a=1&b=2"),
+        # non-default port kept; empty path -> "/"
+        ("http://Ex.org:8080?z=1", "http://ex.org:8080/?z=1"),
+        # default http port dropped, gclid stripped, all-tracking query
+        # vanishes entirely (no trailing "?")
+        ("http://ex.org:80/p/?gclid=abc&utm_campaign=c", "http://ex.org/p"),
+        # userinfo dropped, root path preserved
+        ("https://u:pw@ex.com/", "https://ex.com/"),
+        # no host -> null
+        ("not a url", None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    out = P.canonicalize_url(df, "url", target_field="canon")
+    got = {r["url"]: r["canon"] for r in out.collect()}
+    for raw, want in cases:
+        assert got[raw] == want, (raw, got[raw], want)
