@@ -2033,6 +2033,80 @@ def _oracle_url_canonical() -> str:
     """
 
 
+def _q75_docs_multiline(spark, sf):
+    """Shared input for the line-dedup queries: deterministic 5-line
+    docs built from the documents table — a corpus-wide boilerplate
+    line, a quasi-unique content prefix, a 20-way shared section
+    header, a blank structural line, and a unique tail."""
+    docs = _t(spark, sf, "documents")
+    text2 = F.concat_ws(
+        "\n",
+        F.lit("COOKIE BANNER ACCEPT"),
+        F.substring(F.col("text"), 1, 40),
+        F.format_string("section %d", F.pmod(F.col("doc_id"), F.lit(20))),
+        F.lit(""),
+        F.format_string("tail %d", F.col("doc_id")))
+    return docs.select("doc_id", text2.alias("text"))
+
+
+_ORACLE_MULTILINE = r"""
+    WITH base AS (
+      SELECT doc_id,
+        'COOKIE BANNER ACCEPT' || chr(10) || substr(text, 1, 40)
+        || chr(10) || 'section ' || (doc_id % 20)
+        || chr(10) || chr(10) || 'tail ' || doc_id AS t
+      FROM documents
+    ), arr AS (
+      SELECT doc_id, string_split(t, chr(10)) AS w FROM base
+    ), lines AS (
+      SELECT doc_id, t.i - 1 AS pos, w[t.i] AS line
+      FROM arr, unnest(generate_series(1, len(w))) AS t(i)
+    ), marked AS (
+      SELECT doc_id, pos, line,
+        trim(line) <> '' AND {removed_pred} AS removed
+      FROM lines
+    )
+    SELECT doc_id,
+      CAST(count(*) AS BIGINT) AS n_lines,
+      CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_removed_lines,
+      coalesce(string_agg(CASE WHEN NOT removed THEN line END,
+                          chr(10) ORDER BY pos), '') AS text_clean,
+      round((count(*) - sum(CASE WHEN removed THEN 1 ELSE 0 END))
+            / CAST(count(*) AS DOUBLE), 6) AS retained_frac
+    FROM marked GROUP BY doc_id
+    """
+
+
+def _q75_line_dedup(spark, sf):
+    """RefinedWeb/MassiveText-style boilerplate line removal: every
+    non-blank line occurring >= 3 times corpus-wide is dropped from
+    ALL docs, blanks keep structure, the cleaned text is reassembled
+    in original order. One line-keyed window shuffle + one doc
+    rebuild — linear in total lines."""
+    return dedup.line_dedup(_q75_docs_multiline(spark, sf),
+                            mode="drop_frequent", min_count=3)
+
+
+def _oracle_line_dedup() -> str:
+    return _ORACLE_MULTILINE.format(
+        removed_pred="count(*) OVER (PARTITION BY line) >= 3")
+
+
+def _q76_line_dedup_keepfirst(spark, sf):
+    """C4-style keep-first line dedup on the same synthesized corpus:
+    only the globally-first occurrence (corpus order = (doc_id, pos))
+    of each non-blank line survives."""
+    return dedup.line_dedup(_q75_docs_multiline(spark, sf),
+                            mode="keep_first")
+
+
+def _oracle_line_dedup_keepfirst() -> str:
+    return _ORACLE_MULTILINE.format(
+        removed_pred="(doc_id * 1000000 + pos) > "
+                     "min(doc_id * 1000000 + pos) OVER (PARTITION BY line)")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_simple_stats": _q01_simple_stats,
@@ -2109,6 +2183,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_quality_classifier": _q72_quality_classifier,
         "q73_substring_scrub": _q73_substring_scrub,
         "q74_url_canonical": _q74_url_canonical,
+        "q75_line_dedup": _q75_line_dedup,
+        "q76_line_dedup_keepfirst": _q76_line_dedup_keepfirst,
     }
 
 
@@ -2757,6 +2833,8 @@ def oracle_sql() -> dict[str, str]:
         "q72_quality_classifier": _oracle_quality_classifier(),
         "q73_substring_scrub": _oracle_substring_scrub(),
         "q74_url_canonical": _oracle_url_canonical(),
+        "q75_line_dedup": _oracle_line_dedup(),
+        "q76_line_dedup_keepfirst": _oracle_line_dedup_keepfirst(),
         "q52_repetition": r"""
             WITH b AS (
               SELECT doc_id,

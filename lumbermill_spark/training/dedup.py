@@ -882,3 +882,79 @@ def exact_substring_scrub(
                    retained.cast("double") / F.col("n_tokens"))
             .otherwise(F.lit(1.0)), round_to).alias("retained_frac"),
     )
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "drop_frequent",
+    min_count: int = 2,
+    sep: str = "\n",
+    round_to: int = 6,
+) -> DataFrame:
+    """Line-level corpus deduplication, the two standard crawl-curation
+    flavors (not in the reference; this is the C4 / RefinedWeb
+    boilerplate stage a training pipeline runs before doc-level dedup):
+
+    - ``drop_frequent``: remove EVERY occurrence of a non-blank line
+      whose corpus-wide occurrence count is >= ``min_count`` (RefinedWeb
+      / MassiveText line dedup — kills nav menus, cookie banners and
+      other boilerplate that repeats across pages).
+    - ``keep_first``: remove occurrences after the line's global first
+      (corpus order = (doc_id, position)) — C4-style exact span dedup
+      at line granularity, same semantics as ``exact_substring_scrub``
+      but reassembling the scrubbed text.
+
+    Whitespace-only lines never participate (they carry document
+    structure, and under ``drop_frequent`` every blank line would
+    otherwise vanish). The cleaned text preserves original line order.
+
+    Plan: one scan -> posexplode; ONE line-keyed shuffle (window count
+    or min — no self-join); one id-keyed shuffle rebuilding the doc
+    (collect_list of (pos, line) structs, array_sort, array_join).
+    Linear in total lines at any corpus size; line values are the only
+    shuffle key, so a pathological single repeated line costs one hot
+    partition of small rows, not a quadratic join. ``keep_first``
+    assumes < 1e6 lines per doc (the (doc_id, pos) order encoding).
+
+    Output: (id, n_lines, n_removed_lines, text_clean, retained_frac).
+    """
+    from pyspark.sql import Window
+
+    from lumbermill_spark.operators.field_actions import _java_quote
+
+    if mode not in ("drop_frequent", "keep_first"):
+        raise ValueError(f"line_dedup: unknown mode {mode!r}")
+    df = ensure_min_parallelism(df)
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")),
+                    _java_quote(sep))).alias("pos", "line"))
+    blank = F.trim(F.col("line")) == ""
+    w = Window.partitionBy("line")
+    if mode == "keep_first":
+        lines = lines.withColumn(
+            "ord", F.col(id_col).cast("long") * 1_000_000 + F.col("pos"))
+        removed = ~blank & (F.col("ord") > F.min("ord").over(w))
+    else:
+        removed = ~blank & (F.count(F.lit(1)).over(w) >= min_count)
+    marked = lines.withColumn("removed", removed)
+    # collect_list skips nulls, so removed lines drop out of the rebuild
+    kept_struct = F.when(~F.col("removed"),
+                         F.struct(F.col("pos"), F.col("line")))
+    stats = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("removed").cast("long")).alias("n_removed_lines"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept_struct)),
+                        lambda s: s["line"]),
+            sep).alias("text_clean"))
+    retained = F.col("n_lines") - F.col("n_removed_lines")
+    return stats.select(
+        F.col(id_col),
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.col("n_removed_lines").cast("bigint").alias("n_removed_lines"),
+        F.col("text_clean"),
+        F.round(retained.cast("double") / F.col("n_lines"),
+                round_to).alias("retained_frac"))

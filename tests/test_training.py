@@ -782,3 +782,36 @@ def test_seed_quality_classifier(spark):
     b2 = docs.select(hash_split(F.col("doc_id")).alias("b")).collect()
     assert [r["b"] for r in b1] == [r["b"] for r in b2]
     assert all(0 <= r["b"] < 10 for r in b1)
+
+
+def test_line_dedup_modes(spark):
+    docs = spark.createDataFrame(
+        [(1, "nav menu\nalpha\n\nbeta"),
+         (2, "nav menu\nalpha\ngamma"),
+         (3, "nav menu\ndelta"),
+         (4, None)],
+        "doc_id long, text string")
+    from lumbermill_spark.training.dedup import line_dedup
+
+    # drop_frequent(min_count=2): "nav menu" (3x) and "alpha" (2x) are
+    # boilerplate and vanish everywhere; blanks and uniques survive.
+    freq = {r["doc_id"]: r for r in
+            line_dedup(docs, mode="drop_frequent", min_count=2).collect()}
+    assert freq[1]["text_clean"] == "\nbeta"
+    assert freq[1]["n_lines"] == 4 and freq[1]["n_removed_lines"] == 2
+    assert freq[2]["text_clean"] == "gamma"
+    assert freq[3]["text_clean"] == "delta"
+    assert freq[4]["text_clean"] == "" and freq[4]["n_lines"] == 1
+    assert abs(freq[2]["retained_frac"] - 1 / 3) < 1e-6
+
+    # keep_first: doc 1 keeps everything (all its lines are globally
+    # first); later docs lose repeated lines only.
+    kf = {r["doc_id"]: r for r in
+          line_dedup(docs, mode="keep_first").collect()}
+    assert kf[1]["text_clean"] == "nav menu\nalpha\n\nbeta"
+    assert kf[2]["text_clean"] == "gamma"
+    assert kf[3]["text_clean"] == "delta"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        line_dedup(docs, mode="bogus")
