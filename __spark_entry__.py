@@ -2107,6 +2107,86 @@ def _oracle_line_dedup_keepfirst() -> str:
                      "min(doc_id * 1000000 + pos) OVER (PARTITION BY line)")
 
 
+def _q77_normalize_text(spark, sf):
+    """Unicode normalization scrub: deterministic messy text (combining
+    accent, zero-width chars, NBSP, tabs, a control byte, padded ends)
+    built from each document, then normalize_text (zero-width strip ->
+    NFC -> control strip -> horizontal-whitespace collapse + trim).
+    The DuckDB twin replays the pipeline with its own NFC
+    (utf8proc) + RE2, so the hash check is engine-independent."""
+    from lumbermill_spark.training.textstats import normalize_text
+
+    docs = _t(spark, sf, "documents")
+    messy = F.concat(
+        F.lit("  Cafe\u0301\u200b \u00a0"),
+        F.substring(F.col("text"), 1, 30),
+        F.lit("\t\tend"),
+        F.pmod(F.col("doc_id"), F.lit(5)).cast("string"))
+    df = docs.select("doc_id", messy.alias("text"))
+    out = normalize_text(df, target_col="clean")
+    return out.select(
+        "doc_id", "clean",
+        F.length("clean").cast("bigint").alias("n_chars"))
+
+
+def _oracle_normalize_text() -> str:
+    return r"""
+    WITH messy AS (
+      SELECT doc_id,
+        '  Cafe' || chr(769) || chr(8203) || ' ' || chr(160)
+        || substr(text, 1, 30) || chr(9) || chr(9) || 'end' || chr(7)
+        || CAST(doc_id % 5 AS VARCHAR) AS t
+      FROM documents
+    ), norm AS (
+      SELECT doc_id,
+        trim(regexp_replace(
+          regexp_replace(
+            nfc_normalize(regexp_replace(
+              t, '[\x{200b}\x{200c}\x{200d}\x{feff}]', '', 'g')),
+            '[\x00-\x08\x0b-\x1f\x7f]', '', 'g'),
+          '[ \t\x{a0}]+', ' ', 'g')) AS clean
+      FROM messy)
+    SELECT doc_id, clean, CAST(length(clean) AS BIGINT) AS n_chars
+    FROM norm
+    """
+
+
+def _q78_chunk_sequences(spark, sf):
+    """Context-window chunking of the token table (HF overflow
+    convention: max_len windows at stride, short last window kept).
+    The tokens are the line's bytes, so each chunk's md5 equals the
+    md5 of the corresponding substring — the twin checks exact chunk
+    boundaries AND content without ever materializing arrays."""
+    from lumbermill_spark.training.packing import chunk_sequences
+
+    tok = _events_token_table(spark, sf)
+    out = chunk_sequences(tok, max_len=24, stride=16)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("n_chunk").cast("bigint").alias("n_chunk"),
+        F.md5(decode_tokens(F.col("chunk"))).alias("chunk_md5"))
+
+
+def _oracle_chunk_sequences() -> str:
+    return f"""
+    WITH tok AS (
+      SELECT printf('doc-%012d', event_id) AS doc_id,
+             {_SQL_TOK_LINE} AS line
+      FROM events
+    ), base AS (
+      SELECT doc_id, line, len(line) AS n FROM tok
+    )
+    SELECT doc_id,
+      CAST(t.i AS BIGINT) AS chunk_idx,
+      CAST(least(24, n - t.i * 16) AS BIGINT) AS n_chunk,
+      md5(substr(line, t.i * 16 + 1, 24)) AS chunk_md5
+    FROM base, unnest(generate_series(
+      0, CAST(ceil(greatest(n - 24, 0) / 16.0) AS INT))) AS t(i)
+    WHERE n > 0
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_simple_stats": _q01_simple_stats,
@@ -2185,6 +2265,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_url_canonical": _q74_url_canonical,
         "q75_line_dedup": _q75_line_dedup,
         "q76_line_dedup_keepfirst": _q76_line_dedup_keepfirst,
+        "q77_normalize_text": _q77_normalize_text,
+        "q78_chunk_sequences": _q78_chunk_sequences,
     }
 
 
@@ -2835,6 +2917,8 @@ def oracle_sql() -> dict[str, str]:
         "q74_url_canonical": _oracle_url_canonical(),
         "q75_line_dedup": _oracle_line_dedup(),
         "q76_line_dedup_keepfirst": _oracle_line_dedup_keepfirst(),
+        "q77_normalize_text": _oracle_normalize_text(),
+        "q78_chunk_sequences": _oracle_chunk_sequences(),
         "q52_repetition": r"""
             WITH b AS (
               SELECT doc_id,

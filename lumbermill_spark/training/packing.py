@@ -207,3 +207,43 @@ def pack_blocks(
             F.array_sort(F.collect_list(F.struct("_start", "_piece"))),
             lambda s: s["_piece"])).alias(tokens_col))
     )
+
+
+def chunk_sequences(
+    df: DataFrame,
+    max_len: int,
+    stride: int | None = None,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window chunking of long token sequences — the complement
+    of packing (packing merges short docs into fixed blocks; chunking
+    splits docs longer than the context window into overlapping
+    ``max_len`` windows with step ``stride``, the HF-tokenizer
+    "return_overflowing_tokens" convention). The last window may be
+    shorter; a doc of <= ``max_len`` tokens yields exactly one chunk;
+    empty/null docs yield none.
+
+    Pure per-row explode over ``sequence()`` + ``slice()`` — zero
+    shuffle, zero Python, linear in emitted tokens, so it composes
+    with a downstream ``pack_stats`` without re-partitioning.
+
+    Output: input columns (minus tokens) + (chunk_idx, chunk,
+    n_chunk).
+    """
+    stride = max_len if stride is None else stride
+    if not (0 < stride <= max_len):
+        raise ValueError(
+            f"chunk_sequences: need 0 < stride <= max_len, "
+            f"got stride={stride} max_len={max_len}")
+    n = F.coalesce(F.size(F.col(tokens_col)), F.lit(0))
+    n_chunks = (F.ceil(F.greatest(n - max_len, F.lit(0)) / stride) + 1) \
+        .cast("int")
+    idx = F.when(n > 0, F.sequence(F.lit(0), n_chunks - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    out = df.withColumn("chunk_idx", F.explode(idx))
+    chunk = F.slice(F.col(tokens_col), F.col("chunk_idx") * stride + 1,
+                    max_len)
+    return (out.withColumn("chunk", chunk)
+               .withColumn("n_chunk", F.size("chunk"))
+               .drop(tokens_col))

@@ -10,6 +10,7 @@ reproducibility, not model-grade accuracy.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -451,3 +452,45 @@ def squeeze_repeats(
                        (n_words - n_kept).cast("double") / n_words)
                 .otherwise(0.0), round_to))
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    target_col: str | None = None,
+    form: str = "NFC",
+) -> DataFrame:
+    """Unicode text normalization — the first scrub a crawl-curation
+    pipeline applies before any hashing/dedup (byte-identical dedup is
+    meaningless while 'café' has two encodings). Steps, in order:
+
+    1. drop zero-width characters (ZWSP/ZWNJ/ZWJ/BOM);
+    2. Unicode canonical normalization (``form``, default NFC) — the
+       only step that needs Python (Spark has no builtin normalizer);
+       runs as an Arrow-batched pandas UDF, never per-row Python;
+    3. drop C0/C1 control characters except newline (tab becomes
+       horizontal whitespace in step 4);
+    4. collapse runs of horizontal whitespace (space, tab, NBSP) to a
+       single space and trim the ends.
+
+    Null text stays null. Everything except the NFC step is JVM
+    ``regexp_replace``; the patterns are RE2-safe so an engine-
+    independent twin can replay them.
+    """
+    import unicodedata
+
+    tgt = target_col or text_col
+
+    @F.pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: None if v is None
+                     else unicodedata.normalize(form, v))
+
+    zw = "[\\u200b\\u200c\\u200d\\ufeff]"  # ZWSP/ZWNJ/ZWJ/BOM
+    c = F.regexp_replace(F.col(text_col), zw, "")
+    c = _nfc(c)
+    c = F.regexp_replace(c, "[\x00-\x08\x0b-\x1f\x7f]", "")
+    c = F.trim(F.regexp_replace(c, "[ \\t\\u00a0]+", " "))
+    out = df.withColumn(
+        tgt, F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(c))
+    return out

@@ -815,3 +815,40 @@ def test_line_dedup_modes(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         line_dedup(docs, mode="bogus")
+
+
+def test_normalize_text(spark):
+    from lumbermill_spark.training.textstats import normalize_text
+
+    messy = "  Café​   x\x07y\tz "
+    df = spark.createDataFrame([(1, messy), (2, None), (3, "plain")],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r["clean"] for r in
+           normalize_text(df, target_col="clean").collect()}
+    # NFC composes e+combining-acute, zero-width dropped, BEL dropped
+    # (joining x and y), tab/NBSP runs collapse, ends trimmed
+    assert out[1] == "Café xy z"
+    assert out[2] is None
+    assert out[3] == "plain"
+
+
+def test_chunk_sequences(spark):
+    from lumbermill_spark.training.packing import chunk_sequences
+
+    df = spark.createDataFrame(
+        [(1, list(range(10))), (2, list(range(9))), (3, [7, 8, 9]),
+         (4, []), (5, None)],
+        "doc_id long, tokens array<int>")
+    out = chunk_sequences(df, max_len=4, stride=3)
+    rows = {(r["doc_id"], r["chunk_idx"]): r["chunk"] for r in out.collect()}
+    assert rows[(1, 0)] == [0, 1, 2, 3]
+    assert rows[(1, 1)] == [3, 4, 5, 6]
+    assert rows[(1, 2)] == [6, 7, 8, 9]
+    assert rows[(2, 2)] == [6, 7, 8]          # short last window
+    assert rows[(3, 0)] == [7, 8, 9]          # doc <= max_len: one chunk
+    assert not any(d in (4, 5) for d, _ in rows)  # empty/null: none
+    assert len(rows) == 7
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_sequences(df, max_len=4, stride=5)
