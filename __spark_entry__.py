@@ -2187,6 +2187,63 @@ def _oracle_chunk_sequences() -> str:
     """
 
 
+def _q79_dsir(spark, sf):
+    """DSIR importance weights (hashed unigram+bigram buckets, B=1024,
+    engine-portable md5-hex8 bucketing) with lang='en' as the target
+    distribution; keep = rounded log-weight above the rounded pool
+    average (relative selection — DSIR resamples by rank). The twin
+    rebuilds the same hashed feature space and both smoothed
+    distributions from scratch in DuckDB."""
+    from lumbermill_spark.training.classifier import dsir_weights
+
+    docs = _t(spark, sf, "documents")
+    return dsir_weights(docs, target=F.col("lang") == "en", buckets=1024)
+
+
+def _oracle_dsir() -> str:
+    return r"""
+    WITH base AS (
+      SELECT doc_id, lang = 'en' AS y,
+        list_filter(regexp_split_to_array(trim(coalesce(text, '')),
+                                          '\s+'), x -> x <> '') AS w
+      FROM documents
+    ), uni AS (
+      SELECT doc_id, y, w[t.i] AS g
+      FROM base, unnest(generate_series(1, len(w))) AS t(i)
+    ), bi AS (
+      SELECT doc_id, y, w[t.i] || ' ' || w[t.i + 1] AS g
+      FROM base, unnest(generate_series(1, greatest(len(w) - 1, 0)))
+        AS t(i)
+    ), feats AS (
+      SELECT doc_id, y,
+        CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 1024 AS b
+      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+    ), dw AS (
+      SELECT doc_id, y, b, count(*) AS k FROM feats GROUP BY doc_id, y, b
+    ), bt AS (
+      SELECT b, sum(k) AS s, sum(CASE WHEN y THEN k ELSE 0 END) AS t
+      FROM dw GROUP BY b
+    ), tot AS (
+      SELECT sum(s) AS ns, sum(t) AS nt FROM bt
+    ), scored AS (
+      SELECT dw.doc_id, sum(dw.k) AS n_feats,
+        sum(dw.k * (ln((bt.t + 1) / CAST(tot.nt + 1024 AS DOUBLE))
+                  - ln((bt.s + 1) / CAST(tot.ns + 1024 AS DOUBLE))))
+          AS lw
+      FROM dw JOIN bt USING (b) CROSS JOIN tot
+      GROUP BY dw.doc_id
+    ), mstat AS (
+      SELECT avg(lw) AS mlw FROM scored)
+    SELECT d.doc_id,
+      CAST(coalesce(sc.n_feats, 0) AS BIGINT) AS n_feats,
+      round(coalesce(sc.lw, 0.0), 4) AS log_weight,
+      coalesce(sc.n_feats, 0) > 0
+        AND round(coalesce(sc.lw, 0.0), 4) > round(m.mlw, 4) AS keep
+    FROM documents d LEFT JOIN scored sc USING (doc_id)
+    CROSS JOIN mstat m
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_simple_stats": _q01_simple_stats,
@@ -2267,6 +2324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_line_dedup_keepfirst": _q76_line_dedup_keepfirst,
         "q77_normalize_text": _q77_normalize_text,
         "q78_chunk_sequences": _q78_chunk_sequences,
+        "q79_dsir": _q79_dsir,
     }
 
 
@@ -2919,6 +2977,7 @@ def oracle_sql() -> dict[str, str]:
         "q76_line_dedup_keepfirst": _oracle_line_dedup_keepfirst(),
         "q77_normalize_text": _oracle_normalize_text(),
         "q78_chunk_sequences": _oracle_chunk_sequences(),
+        "q79_dsir": _oracle_dsir(),
         "q52_repetition": r"""
             WITH b AS (
               SELECT doc_id,

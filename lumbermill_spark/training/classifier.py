@@ -134,3 +134,104 @@ def seed_quality_classifier(
             F.when(F.col("score") > 0, F.lit("pos"))
             .otherwise(F.lit("neg")))
     )
+
+
+def hashed_ngram_buckets(text: Column, buckets: int = 1024,
+                         include_bigrams: bool = True) -> Column:
+    """DSIR-style hashed n-gram featurization (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): every
+    unigram (and bigram) hashes to one of ``buckets`` ids via the
+    engine-portable md5-hex8 bucket (same recipe as ``hash_split``),
+    so the feature space is FIXED-SIZE regardless of vocabulary — the
+    property that lets the importance model broadcast at any corpus
+    scale. Returns array<long> of bucket ids, one per n-gram
+    occurrence (duplicates intentionally kept: weights sum over
+    occurrences)."""
+    ws = F.filter(words(text), lambda x: x != F.lit(""))
+
+    def bucket(g: Column) -> Column:
+        hex8 = F.substring(F.md5(g.cast("binary")), 1, 8)
+        return F.conv(hex8, 16, 10).cast("long") % buckets
+
+    feats = F.transform(ws, bucket)
+    if include_bigrams:
+        n = F.size(ws)
+        bi = F.zip_with(F.slice(ws, 1, F.greatest(n - 1, F.lit(0))),
+                        F.slice(ws, 2, F.greatest(n - 1, F.lit(0))),
+                        lambda a, b: bucket(F.concat(a, F.lit(" "), b)))
+        feats = F.concat(feats, bi)
+    return feats
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+    include_bigrams: bool = True,
+    round_to: int = 4,
+) -> DataFrame:
+    """DSIR importance weights for data selection: estimate the target
+    and raw (source) distributions over hashed n-gram buckets, then
+    score every document by its log importance weight
+
+        lw(d) = sum_b k_b(d) * (ln p_t(b) - ln p_s(b))
+
+    with add-one smoothing over the ``buckets``-sized feature space
+    (p_t from documents matching ``target``, p_s from the whole pool).
+    Higher weight = more target-like. The ABSOLUTE sign is dominated
+    by the smoothing mass whenever the target sample is small relative
+    to ``buckets``, so selection must be relative (DSIR resamples by
+    rank): the ``keep`` flag marks docs whose ROUNDED weight exceeds
+    the rounded pool average over scored docs — a deterministic,
+    engine-replayable resampling proxy (one extra one-row broadcast,
+    no global sort).
+
+    Plan: ONE featurize scan (explode of the hashed-bucket array) →
+    one (doc, bucket)-keyed partial-aggregated shuffle; the bucket
+    distribution table is a second aggregate OVER THAT RESULT (≤
+    ``buckets`` rows) broadcast back, and the totals are a one-row
+    broadcast. Unlike the vocabulary classifier there is no top-K cap
+    to tune — the hash bound IS the model size, at 10^12 docs exactly
+    like at 500.
+
+    Output: (id, n_feats, log_weight, keep).
+    """
+    df = ensure_min_parallelism(df)
+    feats = hashed_ngram_buckets(F.col(text_col), buckets,
+                                 include_bigrams)
+    dw = (
+        df.select(F.col(id_col), target.alias("y"),
+                  F.explode(feats).alias("b"))
+        .groupBy(id_col, "y", "b")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    bt = dw.groupBy("b").agg(
+        F.sum("k").alias("s"),
+        F.sum(F.when(F.col("y"), F.col("k")).otherwise(0)).alias("t"))
+    tot = bt.agg(F.sum("s").alias("ns"), F.sum("t").alias("nt"))
+    lam = (
+        F.log((F.col("t") + 1) / (F.col("nt") + buckets))
+        - F.log((F.col("s") + 1) / (F.col("ns") + buckets))
+    )
+    scored = (
+        dw.join(F.broadcast(bt), on="b")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(F.sum("k").alias("n_feats"),
+             F.sum(F.col("k") * lam).alias("lw"))
+    )
+    mstat = scored.agg(F.avg("lw").alias("mlw"))
+    lw = F.round(F.coalesce("lw", F.lit(0.0)), round_to)
+    n_feats = F.coalesce("n_feats", F.lit(0)).cast("bigint")
+    return (
+        df.select(id_col).join(scored, on=id_col, how="left")
+        .crossJoin(F.broadcast(mstat))
+        .select(
+            F.col(id_col),
+            n_feats.alias("n_feats"),
+            lw.alias("log_weight"),
+            ((n_feats > 0) & (lw > F.round("mlw", round_to)))
+            .alias("keep"))
+    )

@@ -852,3 +852,30 @@ def test_chunk_sequences(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         chunk_sequences(df, max_len=4, stride=5)
+
+
+def test_dsir_weights(spark):
+    from lumbermill_spark.training.classifier import dsir_weights
+
+    # two clearly separated token distributions; target = label 'a'
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha beta alpha", "a"),
+         (2, "alpha beta beta alpha gamma", "a"),
+         (3, "delta epsilon zeta delta", "b"),
+         (4, "epsilon zeta zeta delta eta", "b"),
+         (5, "alpha beta alpha", "b"),   # target-like text, source label
+         (6, "", "a")],
+        "doc_id long, text string, lab string")
+    out = {r["doc_id"]: r for r in
+           dsir_weights(docs, target=F.col("lab") == "a",
+                        buckets=256).collect()}
+    # target-distribution docs score positive, source-only negative
+    assert out[1]["keep"] and out[2]["keep"]
+    assert not out[3]["keep"] and not out[4]["keep"]
+    # doc 5 looks like the target distribution despite its label —
+    # that's the point of importance weighting vs label lookup
+    assert out[5]["keep"]
+    assert out[6]["n_feats"] == 0 and out[6]["log_weight"] == 0.0
+    assert not out[6]["keep"]
+    # unigrams + bigrams: 5 words -> 5 + 4 features
+    assert out[1]["n_feats"] == 9
