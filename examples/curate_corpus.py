@@ -4,6 +4,9 @@ pipeline a data-curation team would run at 100 TB, on the sf test data.
     python examples/curate_corpus.py [sf_dir] [out_base]
 
 Stages (each a library operator; see lumbermill_spark/training/):
+ 0. unicode normalize     — NFC + zero-width/control strip (hashing
+                            before normalizing misses 'café' == 'café')
+    + boilerplate lines   — corpus-frequent lines dropped from all docs
  1. exact dedup           — hash-groupBy keep-first
  2. near-dup keep-set     — MinHash-LSH pairs → connected components
  3. repetition scrub      — consecutive word runs collapsed in-place
@@ -13,7 +16,9 @@ Stages (each a library operator; see lumbermill_spark/training/):
  5. corpus signals        — dup-span fraction, unigram surprisal,
                             bigram-LM perplexity terciles (the CCNet
                             gate: tail bucket dropped), token counts,
-                            doc fingerprints
+                            doc fingerprints, DSIR importance weight
+                            (recorded; a resampling pass would draw
+                            proportionally to it)
  6. source-mix resample   — deterministic md5-threshold downsampling
                             to a target mixture (reproducible across
                             reruns/resumes)
@@ -33,7 +38,8 @@ from pyspark.sql import functions as F
 
 from lumbermill_spark.router import SinkSpec, route_and_write
 from lumbermill_spark.session import get_spark
-from lumbermill_spark.training import dedup, sampling, textstats, tokenize
+from lumbermill_spark.training import (classifier, dedup, sampling,
+                                        textstats, tokenize)
 
 
 def main() -> None:
@@ -42,6 +48,15 @@ def main() -> None:
     spark = get_spark("curate-corpus")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n0 = docs.count()
+
+    # 0. unicode normalization FIRST — every hash downstream (exact
+    # dedup, shingles, fingerprints) keys on the normalized bytes
+    docs = textstats.normalize_text(docs)
+    # corpus-frequent boilerplate lines removed from every doc
+    lines = dedup.line_dedup(docs, mode="drop_frequent", min_count=4)
+    docs = docs.drop("text").join(
+        lines.select("doc_id", F.col("text_clean").alias("text")),
+        on="doc_id")
 
     # 1. exact dedup
     docs = dedup.exact_dedup(docs)
@@ -79,6 +94,14 @@ def main() -> None:
     # 5b. PII redaction: kept docs ship the scrubbed text
     docs = textstats.scrub_pii(docs)
 
+    # 5c. DSIR importance weight toward the English distribution —
+    # recorded per doc (a weighted resample would draw ∝ exp(weight));
+    # the bucket model broadcasts, the corpus never re-shuffles for it
+    dsir = classifier.dsir_weights(
+        docs, target=F.col("lang_pred") == "en").select(
+        "doc_id", F.col("log_weight").alias("dsir_log_weight"))
+    docs = docs.join(dsir, on="doc_id", how="left")
+
     keep = ((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5)
             & F.col("gopher_pass") & (F.col("dup_fraction") < 0.8)
             # CCNet-style LM gate: drop the least-predictable tercile
@@ -99,7 +122,8 @@ def main() -> None:
         SinkSpec("kept", keep, path=f"{base}/kept",
                  partition_by=["source"]),
         SinkSpec("dropped", ~keep, path=f"{base}/dropped",
-                 columns=["doc_id", "source", "lang_pred", "quality"]),
+                 columns=["doc_id", "source", "lang_pred", "quality",
+                          "dsir_log_weight"]),
     ]
     res = route_and_write(docs, sinks, base, run_id="curate",
                           token_col="n_ws_tokens")
