@@ -2244,6 +2244,48 @@ def _oracle_dsir() -> str:
     """
 
 
+def _q80_sliding_window(spark, sf):
+    """Sliding event-time windows (10 min length, 5 min slide —
+    every event lands in exactly two windows) with per-event_type
+    counts + value sums, via Spark's native F.window expansion. The
+    identical expression runs under Structured Streaming with a
+    watermark; the twin re-derives both window assignments
+    arithmetically from the epoch."""
+    ev = _t(spark, sf, "events")
+    out = stats.sliding_window_agg(
+        ev, "ts", "10 minutes", "5 minutes", ["event_type"],
+        [F.count(F.lit(1)).alias("n_rows"),
+         F.round(F.sum("value"), 2).alias("sum_value")])
+    return out.select(
+        F.date_format("window_start",
+                      "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.date_format("window_end",
+                      "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "event_type", "n_rows", "sum_value")
+
+
+def _oracle_sliding_window() -> str:
+    return r"""
+    WITH e AS (
+      SELECT event_type, value,
+        CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 AS slot
+      FROM events
+    ), w AS (
+      SELECT event_type, value, slot - t.k * 300 AS ws
+      FROM e, unnest([0, 1]) AS t(k)
+    )
+    SELECT
+      strftime(make_timestamp(ws * 1000000), '%Y-%m-%d %H:%M:%S')
+        AS window_start,
+      strftime(make_timestamp((ws + 600) * 1000000), '%Y-%m-%d %H:%M:%S')
+        AS window_end,
+      event_type,
+      CAST(count(*) AS BIGINT) AS n_rows,
+      round(sum(value), 2) AS sum_value
+    FROM w GROUP BY ws, event_type
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_simple_stats": _q01_simple_stats,
@@ -2325,6 +2367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q77_normalize_text": _q77_normalize_text,
         "q78_chunk_sequences": _q78_chunk_sequences,
         "q79_dsir": _q79_dsir,
+        "q80_sliding_window": _q80_sliding_window,
     }
 
 
@@ -2978,6 +3021,7 @@ def oracle_sql() -> dict[str, str]:
         "q77_normalize_text": _oracle_normalize_text(),
         "q78_chunk_sequences": _oracle_chunk_sequences(),
         "q79_dsir": _oracle_dsir(),
+        "q80_sliding_window": _oracle_sliding_window(),
         "q52_repetition": r"""
             WITH b AS (
               SELECT doc_id,

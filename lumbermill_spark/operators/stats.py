@@ -192,3 +192,33 @@ def throttle(
     passing = counts.filter(cond).select(*group)
     out = keyed.join(passing, on=group, how="inner")
     return out.drop("_thr_key", "_thr_frame", "_thr_n")
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    window: str,
+    slide: str,
+    group_fields: list[str] | None = None,
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Sliding event-time window aggregation — the batch twin of the
+    reference's timed-function interval stats (misc/SimpleStats.py
+    flush loop) generalized to OVERLAPPING windows: each event counts
+    toward every window of length ``window`` that contains it, windows
+    starting every ``slide``. Expressed directly as Spark's
+    ``F.window`` (each row expands to window/slide assignments inside
+    the Generate node — no self-join, no shuffle beyond the final
+    groupBy), so the identical expression runs under Structured
+    Streaming with a watermark for the streaming path.
+
+    Output: (window_start, window_end, *group_fields, *aggs).
+    """
+    aggs = aggs or [F.count(F.lit(1)).alias("n_rows")]
+    group_fields = group_fields or []
+    w = F.window(F.col(ts_col), window, slide)
+    out = df.groupBy(w.alias("w"), *group_fields).agg(*aggs)
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *[c for c in out.columns if c != "w"])
