@@ -2286,6 +2286,75 @@ def _oracle_sliding_window() -> str:
     """
 
 
+def _q81_image_ahash(spark, sf):
+    """Perceptual image hash (aHash) as a first-class oracle-checked
+    op: grayscale gradient PNGs (pixel = (base + 16r + c) mod 256) at
+    8x8 and 16x16 synthesized in-query, hashed by decode -> floor-
+    nearest 8x8 sample -> mean threshold -> hex. The DuckDB twin
+    recomputes every sampled pixel, the exact float64 mean, the bit
+    pattern AND the hex packing from the same formulas — full
+    numeric parity, not a structural check."""
+    ev = _t(spark, sf, "events").filter(F.col("event_id") < 200)
+
+    @F.pandas_udf("binary")
+    def _img(eid: pd.Series, v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from lumbermill_spark.functions.png_lite import encode_png
+        out = []
+        for i, val in zip(eid, v):
+            size = 8 if int(i) % 2 == 0 else 16
+            base = abs(int(val)) % 256
+            r = np.arange(size).reshape(-1, 1)
+            c = np.arange(size).reshape(1, -1)
+            out.append(encode_png(
+                ((base + 16 * r + c) % 256).astype(np.uint8)))
+        return pd.Series(out)
+
+    media = ev.select(
+        F.col("event_id").cast("string").alias("media_id"),
+        _img(F.col("event_id"),
+             F.floor("value").cast("long")).alias("payload"))
+    return multimodal.ahash(media, hash_size=8)
+
+
+def _oracle_image_ahash() -> str:
+    return r"""
+    WITH base AS (
+      SELECT CAST(event_id AS VARCHAR) AS media_id,
+        abs(CAST(floor(value) AS BIGINT)) % 256 AS b,
+        CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END AS s
+      FROM events WHERE event_id < 200
+    ), px AS (
+      SELECT media_id, r.i AS r, c.i AS c,
+        CAST((b + 16 * (r.i * s) + (c.i * s)) % 256 AS DOUBLE) AS v
+      FROM base,
+        unnest(generate_series(0, 7)) AS r(i),
+        unnest(generate_series(0, 7)) AS c(i)
+    ), m AS (
+      SELECT media_id, avg(v) AS mean FROM px GROUP BY media_id
+    ), bits AS (
+      SELECT p.media_id, p.r * 8 + p.c AS idx,
+        CASE WHEN p.v > m.mean THEN 1 ELSE 0 END AS bit
+      FROM px p JOIN m USING (media_id)
+    ), nib AS (
+      SELECT media_id, idx // 4 AS j,
+        sum(bit * (CASE idx % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                   WHEN 2 THEN 2 ELSE 1 END)) AS nv
+      FROM bits GROUP BY media_id, j
+    ), agg AS (
+      SELECT media_id,
+        string_agg(printf('%x', CAST(nv AS INTEGER)), '' ORDER BY j)
+          AS ahash
+      FROM nib GROUP BY media_id
+    ), cnt AS (
+      SELECT media_id, CAST(sum(bit) AS INTEGER) AS n_on
+      FROM bits GROUP BY media_id)
+    SELECT a.media_id, a.ahash, c.n_on
+    FROM agg a JOIN cnt c USING (media_id)
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_simple_stats": _q01_simple_stats,
@@ -2368,6 +2437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_chunk_sequences": _q78_chunk_sequences,
         "q79_dsir": _q79_dsir,
         "q80_sliding_window": _q80_sliding_window,
+        "q81_image_ahash": _q81_image_ahash,
     }
 
 
@@ -3022,6 +3092,7 @@ def oracle_sql() -> dict[str, str]:
         "q78_chunk_sequences": _oracle_chunk_sequences(),
         "q79_dsir": _oracle_dsir(),
         "q80_sliding_window": _oracle_sliding_window(),
+        "q81_image_ahash": _oracle_image_ahash(),
         "q52_repetition": r"""
             WITH b AS (
               SELECT doc_id,

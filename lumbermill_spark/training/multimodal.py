@@ -251,3 +251,57 @@ def frame_sample(df: DataFrame, every_n: int = 30,
 #: Backwards-compatible alias from the rounds when frame sampling was a
 #: stub; codec='real' now executes (Y4M payloads).
 frame_sample_stub = frame_sample
+
+
+AHASH_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType()),
+    T.StructField("ahash", T.StringType()),
+    T.StructField("n_on", T.IntegerType()),
+])
+
+
+def ahash(df: DataFrame, hash_size: int = 8) -> DataFrame:
+    """Average perceptual hash (aHash) — the classic near-duplicate
+    image fingerprint: decode, grayscale (channel mean), floor-nearest
+    sample down to ``hash_size``² pixels (the same kernel as
+    png_lite.resize_nearest: source index = (i * dim) // hash_size),
+    threshold each sample at the sample mean (strict >, ties off), and
+    pack the bits row-major into a hex string. Visually identical or
+    lightly re-encoded images collide; an exact groupBy on ``ahash``
+    is the perceptual-dedup bucket (and Hamming distance over the hex
+    works for near-dup pairing, same banding machinery as simhash).
+
+    The sample mean is an exact float64 (integer sum / power of two),
+    so the bit pattern replays bit-identically in any engine.
+    mapInPandas iterator — bounded memory, no shuffle.
+    """
+    import numpy as np
+
+    nibbles = hash_size * hash_size // 4
+
+    def _one(payload: bytes) -> tuple[str, int]:
+        arr, _ = _to_array(payload)
+        a = arr.astype(np.float64)
+        if a.ndim == 3:
+            a = a.mean(axis=2)
+        h, w = a.shape
+        rows = (np.arange(hash_size) * h) // hash_size
+        cols = (np.arange(hash_size) * w) // hash_size
+        small = a[np.ix_(rows, cols)]
+        bits = (small > small.mean()).astype(np.uint8).ravel()
+        val = 0
+        for b in bits:
+            val = (val << 1) | int(b)
+        return format(val, f"0{nibbles}x"), int(bits.sum())
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashed = [_one(bytes(p)) if p is not None else (None, None)
+                      for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "ahash": [h for h, _ in hashed],
+                "n_on": [n for _, n in hashed],
+            })
+
+    return df.mapInPandas(run, AHASH_SCHEMA)

@@ -879,3 +879,32 @@ def test_dsir_weights(spark):
     assert not out[6]["keep"]
     # unigrams + bigrams: 5 words -> 5 + 4 features
     assert out[1]["n_feats"] == 9
+
+
+def test_image_ahash(spark):
+    import numpy as np
+
+    from lumbermill_spark.functions.png_lite import encode_png
+    from lumbermill_spark.training.multimodal import ahash
+
+    flat = encode_png(np.full((8, 8), 77, dtype=np.uint8))
+    grad = encode_png(np.tile(np.arange(0, 64, 8, dtype=np.uint8), (8, 1)))
+    # 16x16 version of the same gradient: floor-nearest sampling must
+    # recover the identical 8x8 pattern -> identical hash
+    grad16 = encode_png(np.tile(
+        np.repeat(np.arange(0, 64, 8, dtype=np.uint8), 2), (16, 1)))
+    rgb = encode_png(np.dstack([
+        np.tile(np.arange(0, 64, 8, dtype=np.uint8), (8, 1))] * 3))
+    df = spark.createDataFrame(
+        [("flat", flat), ("grad", grad), ("grad16", grad16),
+         ("rgb", rgb), ("null", None)],
+        "media_id string, payload binary")
+    out = {r["media_id"]: r for r in ahash(df).collect()}
+    # constant image: no sample exceeds the mean -> all-zero hash
+    assert out["flat"]["ahash"] == "0" * 16 and out["flat"]["n_on"] == 0
+    # gradient columns 4..7 exceed the mean (28): 00001111 per row
+    assert out["grad"]["ahash"] == "0f" * 8 and out["grad"]["n_on"] == 32
+    assert out["grad16"]["ahash"] == out["grad"]["ahash"]
+    # channel-mean grayscale of an R=G=B image equals the gray image
+    assert out["rgb"]["ahash"] == out["grad"]["ahash"]
+    assert out["null"]["ahash"] is None
