@@ -2355,6 +2355,54 @@ def _oracle_image_ahash() -> str:
     """
 
 
+def _q82_html_to_text(spark, sf):
+    """Crawl HTML text extraction: deterministic messy markup built
+    around each document's text (script+style blocks, attributes,
+    self-closing tags, the core entity set), then html_to_text. The
+    twin replays the identical RE2-safe strip/unescape chain."""
+    docs = _t(spark, sf, "documents")
+    html = F.format_string(
+        '<html><head><script type="text/js">var x=1;</script>'
+        '<style>.a{color:red}</style></head><body><h1>Title %d</h1>'
+        '<p class="c">%s &amp; more &lt;tags&gt;</p>'
+        '<br/>&nbsp;tail&#39;s</body></html>',
+        F.pmod(F.col("doc_id"), F.lit(7)),
+        F.substring(F.col("text"), 1, 40))
+    df = docs.select("doc_id", html.alias("raw"))
+    out = parsers.html_to_text(df, "raw", target_field="text")
+    return out.select("doc_id", "text",
+                      F.length("text").cast("bigint").alias("n_chars"))
+
+
+def _oracle_html_to_text() -> str:
+    return r"""
+    WITH raw AS (
+      SELECT doc_id,
+        '<html><head><script type="text/js">var x=1;</script>'
+        || '<style>.a{color:red}</style></head><body><h1>Title '
+        || (doc_id % 7) || '</h1><p class="c">' || substr(text, 1, 40)
+        || ' &amp; more &lt;tags&gt;</p><br/>&nbsp;tail&#39;s'
+        || '</body></html>' AS h
+      FROM documents
+    ), stripped AS (
+      SELECT doc_id,
+        trim(regexp_replace(
+          replace(replace(replace(replace(replace(replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(h, '(?is)<script\b[^>]*>.*?</script>',
+                               ' ', 'g'),
+                '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+              '(?s)<[^>]*>', ' ', 'g'),
+            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+            '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+          '\s+', ' ', 'g')) AS t
+      FROM raw)
+    SELECT doc_id, t AS text, CAST(length(t) AS BIGINT) AS n_chars
+    FROM stripped
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_simple_stats": _q01_simple_stats,
@@ -2438,6 +2486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_dsir": _q79_dsir,
         "q80_sliding_window": _q80_sliding_window,
         "q81_image_ahash": _q81_image_ahash,
+        "q82_html_to_text": _q82_html_to_text,
     }
 
 
@@ -3093,6 +3142,7 @@ def oracle_sql() -> dict[str, str]:
         "q79_dsir": _oracle_dsir(),
         "q80_sliding_window": _oracle_sliding_window(),
         "q81_image_ahash": _oracle_image_ahash(),
+        "q82_html_to_text": _oracle_html_to_text(),
         "q52_repetition": r"""
             WITH b AS (
               SELECT doc_id,

@@ -428,3 +428,31 @@ def parse_xpath(df: DataFrame, source_field: str, query: str,
     xpath query -> list of string results (builtin F.xpath)."""
     tgt = target_field or f"{source_field}_xpath"
     return df.withColumn(tgt, F.xpath(F.col(source_field), F.lit(query)))
+
+
+# Entity unescape order matters: &amp; LAST, else "&amp;lt;" would
+# double-unescape. Mirror this exact order in any SQL twin.
+HTML_ENTITIES = (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                 ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"))
+
+
+def html_to_text(df: DataFrame, source_field: str,
+                 target_field: str | None = None) -> DataFrame:
+    """Crawl-curation HTML text extraction (the step before every text
+    op when the input is raw crawl payloads): drop <script>/<style>
+    blocks with their contents, strip every remaining tag to a space,
+    unescape the core entity set (order-sensitive: &amp; last), then
+    collapse all whitespace and trim. Pure JVM regexp/replace chain —
+    RE2-safe patterns (no backreferences, inline (?is) flags only), so
+    an engine-independent twin replays the identical pipeline. This is
+    deliberately a text EXTRACTOR, not an HTML parser: malformed
+    markup degrades to extra stripped spans, never to an error."""
+    tgt = target_field or source_field
+    c = F.col(source_field)
+    c = F.regexp_replace(c, r"(?is)<script\b[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style\b[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    for ent, ch in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.withColumn(tgt, c)

@@ -272,3 +272,13 @@ def test_canonicalize_url(spark):
     got = {r["url"]: r["canon"] for r in out.collect()}
     for raw, want in cases:
         assert got[raw] == want, (raw, got[raw], want)
+
+
+def test_html_to_text(spark):
+    raw = ('<html><head><SCRIPT src="x">if(a<b){}</SCRIPT>'
+           '<style>p{}</style></head><body>'
+           '<p a="1">Hello &amp;&nbsp;<b>world</b></p>'
+           '<br/>5 &lt; 6, &quot;q&quot;, it&#39;s</body>')
+    df = _one(spark, raw)
+    out = P.html_to_text(df, "data", target_field="t")
+    assert out.first()["t"] == 'Hello & world 5 < 6, "q", it\'s'
