@@ -2403,6 +2403,121 @@ def _oracle_html_to_text() -> str:
     """
 
 
+def _q83_dissect(spark, sf):
+    """Dissect-style delimiter tokenization of a fixed log format —
+    the no-regex fast path for rigid formats, compiled to a
+    substring_index chain. The twin derives every field from the base
+    columns, independently checking the whole chain, plus dissect's
+    drift semantics on corrupt rows (missing quote separator: the
+    drifted field swallows the remainder, later fields are '')."""
+    ev = _t(spark, sf, "events").filter(F.col("event_id") < 2000)
+    line = F.when(
+        F.pmod(F.col("event_id"), F.lit(10)) == 9,
+        # corrupt row: closing quote+status missing (format drift)
+        F.format_string('10.0.%d.%d - u%d [01/Jan/2024] "GET /v%d',
+                        F.pmod(F.col("user_id"), F.lit(200)),
+                        F.pmod(F.col("event_id"), F.lit(250)) + 1,
+                        F.col("user_id"),
+                        F.pmod(F.col("event_id"), F.lit(3)))
+    ).otherwise(
+        F.format_string(
+            '10.0.%d.%d - u%d [01/Jan/2024] "GET /v%d" %d t%d',
+            F.pmod(F.col("user_id"), F.lit(200)),
+            F.pmod(F.col("event_id"), F.lit(250)) + 1,
+            F.col("user_id"),
+            F.pmod(F.col("event_id"), F.lit(3)),
+            F.lit(200) + F.pmod(F.col("event_id"), F.lit(4)),
+            F.pmod(F.col("user_id"), F.lit(5))))
+    df = ev.select("event_id", line.alias("data"))
+    out = parsers.dissect(
+        df, '%{ip} - %{user} [%{ts}] "%{req}" %{status} %{tail}',
+        drop_source=True)
+    return out.select("event_id", "ip", "user", "ts", "req",
+                      "status", "tail")
+
+
+def _oracle_dissect() -> str:
+    return r"""
+    SELECT event_id,
+      '10.0.' || (user_id % 200) || '.' || (event_id % 250 + 1) AS ip,
+      'u' || user_id AS "user",
+      '01/Jan/2024' AS ts,
+      CASE WHEN event_id % 10 = 9
+           THEN 'GET /v' || (event_id % 3)
+           ELSE 'GET /v' || (event_id % 3) END AS req,
+      CASE WHEN event_id % 10 = 9 THEN ''
+           ELSE CAST(200 + event_id % 4 AS VARCHAR) END AS status,
+      CASE WHEN event_id % 10 = 9 THEN ''
+           ELSE 't' || (user_id % 5) END AS tail
+    FROM events WHERE event_id < 2000
+    """
+
+
+def _q84_heavy_hitters(spark, sf):
+    """Top-3 users per (hourly window, event_type) by event count —
+    the alerting heavy-hitters pattern: pre-aggregate counts (the
+    window input is one row per key), then row_number over a
+    deterministic total order (count desc, user_id asc)."""
+    ev = _t(spark, sf, "events")
+    agg = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"),
+        "event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    top = stats.top_k_per_group(agg, ["w", "event_type"], "n", 3,
+                                tiebreak_fields=["user_id"])
+    return top.select(
+        F.date_format(F.col("w.start"),
+                      "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type", "user_id", "n",
+        F.col("rank").cast("bigint").alias("rank"))
+
+
+def _oracle_heavy_hitters() -> str:
+    return r"""
+    WITH c AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS ws,
+        event_type, user_id, count(*) AS n
+      FROM events GROUP BY ws, event_type, user_id
+    ), r AS (
+      SELECT ws, event_type, user_id, n,
+        row_number() OVER (PARTITION BY ws, event_type
+                           ORDER BY n DESC, user_id) AS rank
+      FROM c)
+    SELECT strftime(make_timestamp(ws * 1000000),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+      event_type, user_id, n, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 3
+    """
+
+
+def _q85_zscore(spark, sf):
+    """Per-event_type z-score outlier flags on value: one partial-
+    aggregated mean/stddev pass broadcast back over the events. The
+    flag compares the ROUNDED z so the decision replays identically
+    in any engine."""
+    ev = _t(spark, sf, "events")
+    out = stats.zscore_flags(ev, "value", ["event_type"],
+                             threshold=2.5)
+    return out.select("event_id", "event_type",
+                      F.round("value", 2).alias("value"),
+                      "zscore", "is_outlier")
+
+
+def _oracle_zscore() -> str:
+    return r"""
+    WITH g AS (
+      SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+      FROM events GROUP BY event_type
+    ), z AS (
+      SELECT e.event_id, e.event_type, round(e.value, 2) AS value,
+        CASE WHEN g.sd > 0
+             THEN round((e.value - g.mu) / g.sd, 4) END AS zscore
+      FROM events e JOIN g USING (event_type))
+    SELECT event_id, event_type, value, zscore,
+      coalesce(abs(zscore) > 2.5, FALSE) AS is_outlier
+    FROM z
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_simple_stats": _q01_simple_stats,
@@ -2487,6 +2602,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_sliding_window": _q80_sliding_window,
         "q81_image_ahash": _q81_image_ahash,
         "q82_html_to_text": _q82_html_to_text,
+        "q83_dissect": _q83_dissect,
+        "q84_heavy_hitters": _q84_heavy_hitters,
+        "q85_zscore": _q85_zscore,
     }
 
 
@@ -3143,6 +3261,9 @@ def oracle_sql() -> dict[str, str]:
         "q80_sliding_window": _oracle_sliding_window(),
         "q81_image_ahash": _oracle_image_ahash(),
         "q82_html_to_text": _oracle_html_to_text(),
+        "q83_dissect": _oracle_dissect(),
+        "q84_heavy_hitters": _oracle_heavy_hitters(),
+        "q85_zscore": _oracle_zscore(),
         "q52_repetition": r"""
             WITH b AS (
               SELECT doc_id,

@@ -456,3 +456,46 @@ def html_to_text(df: DataFrame, source_field: str,
         c = F.replace(c, F.lit(ent), F.lit(ch))
     c = F.trim(F.regexp_replace(c, r"\s+", " "))
     return df.withColumn(tgt, c)
+
+
+def dissect(df: DataFrame, pattern: str, source_field: str = "data",
+            drop_source: bool = False) -> DataFrame:
+    """Dissect-style delimiter tokenization (the Logstash-family
+    alternative to parser.Regex for FIXED log formats; the reference
+    covers these cases with regex — Regex.py:160-183 — but a
+    delimiter chain avoids backtracking entirely): a pattern like
+
+        '%{ip} - %{user} [%{ts}] "%{req}" %{status}'
+
+    alternates %{field} captures with literal separators; each field
+    consumes up to the FIRST occurrence of its following literal.
+    Compiled to a substring_index/substring expression chain — pure
+    JVM, codegen-friendly, zero regex. A missing separator makes the
+    field consume the remainder and later fields come out empty (the
+    dissect convention: format drift degrades, never errors). The
+    final field consumes the rest of the line. Skips '' field names
+    (%{} = discard)."""
+    import re as _re
+
+    toks = _re.split(r"%\{([^}]*)\}", pattern)
+    # toks = [lead_lit, field1, lit2, field2, ..., litN]
+    lead, pairs = toks[0], list(zip(toks[1::2], toks[2::2] + [""]))
+    rest = F.col(source_field)
+    if lead:
+        # consume through the first occurrence of the leading literal
+        # (lenient: a prefix before it is discarded, dissect-style)
+        pre = F.substring_index(rest, lead, 1)
+        rest = F.substring(rest, F.length(pre) + (len(lead) + 1),
+                           F.lit(2**30))
+    out_cols: dict[str, Column] = {}
+    for field, lit in pairs:
+        if lit:
+            val = F.substring_index(rest, lit, 1)
+            rest = F.substring(rest,
+                               F.length(val) + (len(lit) + 1), F.lit(2**30))
+        else:
+            val = rest
+        if field:
+            out_cols[field] = val
+    out = df.withColumns(out_cols)
+    return out.drop(source_field) if drop_source else out

@@ -222,3 +222,52 @@ def sliding_window_agg(
         F.col("w.start").alias("window_start"),
         F.col("w.end").alias("window_end"),
         *[c for c in out.columns if c != "w"])
+
+
+def top_k_per_group(df: DataFrame, group_fields: list[str],
+                    order_field: str, k: int,
+                    tiebreak_fields: list[str] | None = None,
+                    descending: bool = True) -> DataFrame:
+    """Top-K heavy hitters per group (the alerting companion to Facet:
+    "top N users per event_type per window"). row_number over a
+    (group)-partitioned window with a DETERMINISTIC total order
+    (order_field, then tiebreak_fields ascending) — ties never make
+    the result run-dependent. One shuffle on the group key; the sort
+    is per-partition. For corpus-scale K-extraction prefer the
+    aggregated input this usually runs on (counts per key), not raw
+    events — then the window input is already one row per key."""
+    from pyspark.sql import Window
+
+    ordc = F.col(order_field).desc() if descending \
+        else F.col(order_field).asc()
+    order = [ordc] + [F.col(f).asc() for f in (tiebreak_fields or [])]
+    w = Window.partitionBy(*group_fields).orderBy(*order)
+    return (df.withColumn("rank", F.row_number().over(w))
+              .filter(F.col("rank") <= k))
+
+
+def zscore_flags(df: DataFrame, value_field: str,
+                 group_fields: list[str] | None = None,
+                 threshold: float = 3.0,
+                 round_to: int = 4) -> DataFrame:
+    """Per-group z-score outlier flags (modifier.Math's interval
+    aggregate — stats.py math_op — taken one step further into the
+    alerting use-case): mean/stddev_samp per group computed in ONE
+    partial-aggregated pass, broadcast back, each row annotated with
+    its rounded z-score and an is_outlier flag at |z| > threshold.
+    Groups with stddev 0/null (constant or single-row groups) flag
+    nothing. Adds columns: zscore, is_outlier."""
+    group_fields = group_fields or []
+    aggs = df.groupBy(*group_fields).agg(
+        F.avg(value_field).alias("_mu"),
+        F.stddev_samp(value_field).alias("_sd"))
+    joined = (df.join(F.broadcast(aggs), on=group_fields)
+              if group_fields else df.crossJoin(F.broadcast(aggs)))
+    z = F.round((F.col(value_field) - F.col("_mu")) / F.col("_sd"),
+                round_to)
+    z = F.when(F.col("_sd") > 0, z)
+    return (joined
+            .withColumn("zscore", z)
+            .withColumn("is_outlier",
+                        F.coalesce(F.abs(z) > threshold, F.lit(False)))
+            .drop("_mu", "_sd"))

@@ -282,3 +282,25 @@ def test_html_to_text(spark):
     df = _one(spark, raw)
     out = P.html_to_text(df, "data", target_field="t")
     assert out.first()["t"] == 'Hello & world 5 < 6, "q", it\'s'
+
+
+def test_dissect(spark):
+    df = _one(spark, '10.0.1.2 - u7 [01/Jan/2024] "GET /api" 200 extra')
+    out = P.dissect(
+        df, '%{ip} - %{user} [%{ts}] "%{req}" %{status} %{rest}')
+    r = out.first()
+    assert r["ip"] == "10.0.1.2"
+    assert r["user"] == "u7"
+    assert r["ts"] == "01/Jan/2024"
+    assert r["req"] == "GET /api"
+    assert r["status"] == "200"
+    assert r["rest"] == "extra"
+
+    # leading literal + %{} discard + format drift (missing separator):
+    # the drifted field consumes the remainder, later fields are empty
+    df2 = _one(spark, "LOG: a;b|c")
+    r2 = P.dissect(df2, "LOG: %{x};%{}|%{z}").first()
+    assert r2["x"] == "a" and r2["z"] == "c"
+    r3 = P.dissect(_one(spark, "LOG: a;no-pipe-here"),
+                   "LOG: %{x};%{y}|%{z}").first()
+    assert r3["x"] == "a" and r3["y"] == "no-pipe-here" and r3["z"] == ""
