@@ -154,3 +154,50 @@ def test_fingerprint_whitespace_invariance(spark, texts):
         for j, u in enumerate(texts[:i]):
             normu = re.sub(r"\s+", " ", u.strip()).lower()
             assert (fp[2 * i] == fp[2 * j]) == (norm == normu)
+
+
+# URL-ish generator: scheme/host case noise, optional port/query/fragment
+_url_like = st.builds(
+    lambda sch, host, port, path, q, frag:
+        f"{sch}://{host}{port}{path}{q}{frag}",
+    st.sampled_from(["http", "HTTP", "https", "HTTPS"]),
+    st.from_regex(r"(www\.)?[A-Za-z][A-Za-z0-9]{0,8}\.(com|ORG|io)",
+                  fullmatch=True),
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+    st.from_regex(r"(/[A-Za-z0-9]{0,6}){0,3}/?", fullmatch=True),
+    st.sampled_from(["", "?b=2&a=1", "?utm_source=x&z=9", "?gclid=1"]),
+    st.sampled_from(["", "#frag"]),
+)
+
+
+@given(st.lists(_url_like, min_size=1, max_size=20))
+@SET
+def test_canonicalize_url_idempotent(spark, urls):
+    """canonicalize ∘ canonicalize == canonicalize: the output is a
+    fixpoint (already lowercase, no default port, no tracking params,
+    sorted query, normalized slashes)."""
+    from lumbermill_spark.operators.parsers import canonicalize_url
+
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               "i long, url string")
+    once = canonicalize_url(df, "url", target_field="c1")
+    twice = canonicalize_url(once, "c1", target_field="c2")
+    for r in twice.collect():
+        assert r["c2"] == r["c1"], (r["url"], r["c1"], r["c2"])
+
+
+@given(st.lists(st.text(min_size=0, max_size=80), min_size=1,
+                max_size=20))
+@SET
+def test_normalize_text_idempotent(spark, texts):
+    """normalize_text is a fixpoint on arbitrary unicode (NFC is
+    idempotent; stripped char classes stay stripped; collapsed
+    whitespace stays collapsed)."""
+    from lumbermill_spark.training.textstats import normalize_text
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, text string")
+    once = normalize_text(df, target_col="c1")
+    twice = normalize_text(once, text_col="c1", target_col="c2")
+    for r in twice.collect():
+        assert r["c2"] == r["c1"], (r["text"], r["c1"], r["c2"])
