@@ -201,3 +201,27 @@ def test_normalize_text_idempotent(spark, texts):
     twice = normalize_text(once, text_col="c1", target_col="c2")
     for r in twice.collect():
         assert r["c2"] == r["c1"], (r["text"], r["c1"], r["c2"])
+
+
+_field = st.text(alphabet=st.characters(min_codepoint=33,
+                                        max_codepoint=126,
+                                        exclude_characters='";[]'),
+                 min_size=1, max_size=12)
+
+
+@given(st.lists(st.tuples(_field, _field, _field), min_size=1,
+                max_size=15))
+@SET
+def test_dissect_inverts_format(spark, rows):
+    """dissect is the left inverse of formatting: for separator-free
+    field values, formatting then dissecting recovers every field."""
+    from lumbermill_spark.operators.parsers import dissect
+
+    df = spark.createDataFrame(
+        [(i, f'{a} - {b} ["{c}"]') for i, (a, b, c) in enumerate(rows)],
+        "i long, data string")
+    out = {r["i"]: r for r in
+           dissect(df, '%{x} - %{y} ["%{z}"]').collect()}
+    for i, (a, b, c) in enumerate(rows):
+        r = out[i]
+        assert (r["x"], r["y"], r["z"]) == (a, b, c), (a, b, c, r)
