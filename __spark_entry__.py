@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from lumbermill_spark.functions.tokens import decode_tokens, encode_line
 from lumbermill_spark.operators import field_actions, parsers, stateful, stats
-from lumbermill_spark.operators.lookup import enrich
+from lumbermill_spark.operators.lookup import asof_join, enrich
 from lumbermill_spark.operators.parsers import RFC5424_FACILITIES, RFC5424_SEVERITIES
 from lumbermill_spark.operators.regex_parser import RegexParser
 from lumbermill_spark.router import SinkSpec, route
@@ -2518,6 +2518,57 @@ def _oracle_zscore() -> str:
     """
 
 
+def _q86_asof_enrich(spark, sf):
+    """Point-in-time (as-of) enrichment: each event picks up the config
+    version that was active at its event time — an SCD-2 deploy history
+    synthesized deterministically from the corpus itself (4 versions per
+    event_type at quartile marks of that type's time range). Union-marker
+    window join (operators/lookup.asof_join): one shuffle, no
+    fact×versions blow-up. Epoch-second integers on both sides so the
+    timestamp arithmetic replays exactly in any engine."""
+    ev = _t(spark, sf, "events").select(
+        "event_id", "event_type", F.unix_timestamp("ts").alias("es"))
+    b = ev.groupBy("event_type").agg(
+        F.min("es").alias("t0"), F.max("es").alias("t1"))
+    vers = (
+        b.select(
+            "event_type", "t0",
+            F.floor((F.col("t1") - F.col("t0")) / F.lit(4)).cast("long").alias("step"),
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k"))
+        .select(
+            "event_type",
+            (F.col("t0") + F.col("k") * F.col("step")).alias("valid_from"),
+            F.concat(F.lit("v"), (F.col("k") + 1).cast("string")).alias("cfg"))
+        # (key, valid_from) must be unique for as-of; on a degenerate
+        # corpus (t0 == t1) all four marks collide -> keep the newest.
+        .groupBy("event_type", "valid_from").agg(F.max("cfg").alias("cfg")))
+    out = asof_join(ev, vers, on="event_type", ts="es", dim_ts="valid_from")
+    return out.select("event_id", "event_type", "es", "cfg")
+
+
+def _oracle_asof_enrich() -> str:
+    return r"""
+    WITH e AS (
+      SELECT event_id, event_type,
+        CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events
+    ), b AS (
+      SELECT event_type, min(es) AS t0, max(es) AS t1
+      FROM e GROUP BY event_type
+    ), v0 AS (
+      SELECT event_type,
+        t0 + k * CAST(floor((t1 - t0) / 4.0) AS BIGINT) AS valid_from,
+        'v' || CAST(k + 1 AS VARCHAR) AS cfg
+      FROM b, unnest([0, 1, 2, 3]) AS u(k)
+    ), v AS (
+      SELECT event_type, valid_from, max(cfg) AS cfg
+      FROM v0 GROUP BY 1, 2)
+    SELECT e.event_id, e.event_type, e.es, v.cfg
+    FROM e ASOF LEFT JOIN v
+      ON e.event_type = v.event_type AND e.es >= v.valid_from
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_simple_stats": _q01_simple_stats,
@@ -2605,6 +2656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_dissect": _q83_dissect,
         "q84_heavy_hitters": _q84_heavy_hitters,
         "q85_zscore": _q85_zscore,
+        "q86_asof_enrich": _q86_asof_enrich,
     }
 
 
@@ -3264,6 +3316,7 @@ def oracle_sql() -> dict[str, str]:
         "q83_dissect": _oracle_dissect(),
         "q84_heavy_hitters": _oracle_heavy_hitters(),
         "q85_zscore": _oracle_zscore(),
+        "q86_asof_enrich": _oracle_asof_enrich(),
         "q52_repetition": r"""
             WITH b AS (
               SELECT doc_id,

@@ -168,3 +168,41 @@ def test_collectd_multi_values_parts(spark):
     vals = sorted(r["values"][0]
                   for r in cd.parse_collectd(df).collect())
     assert vals == [1.0, 2.5]
+
+
+def test_asof_join_backward_and_forward(spark):
+    from lumbermill_spark.operators.lookup import asof_join
+
+    facts = spark.createDataFrame(
+        [("a", 5, 100), ("a", 1, 101), ("a", 3, 102),
+         ("b", 2, 103), ("c", 9, 104)],
+        "k string, t int, event_id int")
+    dims = spark.createDataFrame(
+        [("a", 1, "v1"), ("a", 3, "v2"), ("a", 4, "v3"), ("b", 5, "v9")],
+        "k string, valid_from int, cfg string")
+
+    back = {r.event_id: r.cfg
+            for r in asof_join(facts, dims, on="k", ts="t").collect()}
+    # ties are inclusive (t=1 matches valid_from=1, t=3 matches 3)
+    assert back == {101: "v1", 102: "v2", 100: "v3", 103: None, 104: None}
+
+    fwd = {r.event_id: r.cfg
+           for r in asof_join(facts, dims, on="k", ts="t",
+                              direction="forward").collect()}
+    assert fwd == {101: "v1", 102: "v2", 100: None, 103: "v9", 104: None}
+
+    with pytest.raises(ValueError):
+        asof_join(facts, dims, on="k", ts="t", direction="nearest")
+
+
+def test_asof_join_null_dim_field_not_inherited(spark):
+    """A newer version with a NULL field must NOT inherit that field
+    from the older version — the payload moves as one struct."""
+    from lumbermill_spark.operators.lookup import asof_join
+
+    facts = spark.createDataFrame([("a", 10, 1)], "k string, t int, id int")
+    dims = spark.createDataFrame(
+        [("a", 1, "r1", "east"), ("a", 5, None, "west")],
+        "k string, valid_from int, release string, region string")
+    row = asof_join(facts, dims, on="k", ts="t").collect()[0]
+    assert row.region == "west" and row.release is None
