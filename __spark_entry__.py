@@ -2569,6 +2569,130 @@ def _oracle_asof_enrich() -> str:
     """
 
 
+def _q87_sessionize_gap(spark, sf):
+    """Batch gap-based sessionization (30-min silence splits a user's
+    session), then per-session aggregates. One window shuffle on the
+    user key (operators/stateful.sessionize_gap) + one groupBy that
+    reuses the same partitioning. Epoch seconds on both sides."""
+    ev = _t(spark, sf, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("es"))
+    s = stateful.sessionize_gap(ev, key="user_id", ts="es", gap=1800)
+    return (s.groupBy("user_id", "session_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("es").alias("start_es"),
+                 F.max("es").alias("end_es")))
+
+
+def _oracle_sessionize_gap() -> str:
+    return r"""
+    WITH e AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+    ), b AS (
+      SELECT user_id, es,
+        CASE WHEN lag(es) OVER w IS NULL
+                  OR es - lag(es) OVER w > 1800 THEN 1 ELSE 0 END AS nb
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es)
+    ), s AS (
+      SELECT user_id, es,
+        sum(nb) OVER (PARTITION BY user_id ORDER BY es
+                      ROWS UNBOUNDED PRECEDING) - 1 AS sid
+      FROM b)
+    SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+      count(*) AS n_events, min(es) AS start_es, max(es) AS end_es
+    FROM s GROUP BY 1, 2
+    """
+
+
+def _q88_cohort_retention(spark, sf):
+    """Weekly cohort retention matrix: cohort = a user's first 7-day
+    period (integer day buckets from the epoch — no locale-dependent
+    week truncation), n_users = distinct users active K periods later.
+    Two partial-aggregated shuffles on the user key."""
+    ev = _t(spark, sf, "events")
+    return stats.cohort_retention(ev, user="user_id", ts="ts",
+                                  period_days=7)
+
+
+def _oracle_cohort_retention() -> str:
+    return r"""
+    WITH per AS (
+      SELECT user_id AS u,
+        CAST(floor(floor(epoch(ts) / 86400) / 7) AS BIGINT) AS p
+      FROM events
+    ), f AS (
+      SELECT u, min(p) AS p0 FROM per GROUP BY u
+    ), a AS (SELECT DISTINCT u, p FROM per)
+    SELECT f.p0 AS cohort_period, a.p - f.p0 AS periods_since,
+      count(DISTINCT a.u) AS n_users
+    FROM a JOIN f ON a.u = f.u
+    GROUP BY 1, 2
+    """
+
+
+def _q89_funnel(spark, sf):
+    """Ordered view -> click -> purchase funnel: each step counts users
+    whose earliest qualifying occurrence is at-or-after their previous
+    step's frontier time. K min-aggregations joined on the user key,
+    frames shrinking monotonically down the funnel."""
+    ev = _t(spark, sf, "events")
+    return stats.funnel_counts(ev, steps=["view", "click", "purchase"],
+                               user="user_id", ts="ts")
+
+
+def _oracle_funnel() -> str:
+    return r"""
+    WITH e AS (
+      SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        event_type AS et
+      FROM events
+    ), s1 AS (
+      SELECT u, min(t) AS t1 FROM e WHERE et = 'view' GROUP BY u
+    ), s2 AS (
+      SELECT e.u, min(t) AS t2 FROM e JOIN s1 ON e.u = s1.u
+      WHERE et = 'click' AND t >= t1 GROUP BY e.u
+    ), s3 AS (
+      SELECT e.u, min(t) AS t3 FROM e JOIN s2 ON e.u = s2.u
+      WHERE et = 'purchase' AND t >= t2 GROUP BY e.u)
+    SELECT CAST(step AS BIGINT) AS step, step_name,
+      CAST(n_users AS BIGINT) AS n_users
+    FROM (VALUES
+      (1, 'view', (SELECT count(*) FROM s1)),
+      (2, 'click', (SELECT count(*) FROM s2)),
+      (3, 'purchase', (SELECT count(*) FROM s3))
+    ) AS v(step, step_name, n_users)
+    """
+
+
+def _q90_rollup(spark, sf):
+    """Hierarchical subtotals in one pass: GROUP BY ROLLUP over
+    (event_type, day) — Catalyst's Expand gives every subtotal level
+    for one shuffle. Subtotal rows labeled 'ALL' via grouping() so real
+    nulls stay distinguishable. Integer floor(value) sums so the
+    aggregate replays bit-exactly in any engine."""
+    ev = _t(spark, sf, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.floor("value").cast("long").alias("fv"))
+    return stats.rollup_agg(
+        ev, ["event_type", "day"],
+        [F.count(F.lit(1)).alias("n"), F.sum("fv").alias("sum_fv")])
+
+
+def _oracle_rollup() -> str:
+    return r"""
+    WITH e AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        CAST(floor(value) AS BIGINT) AS fv
+      FROM events)
+    SELECT
+      CASE WHEN GROUPING(event_type) = 1 THEN 'ALL'
+           ELSE event_type END AS event_type,
+      CASE WHEN GROUPING(day) = 1 THEN 'ALL' ELSE day END AS day,
+      count(*) AS n, sum(fv) AS sum_fv
+    FROM e GROUP BY ROLLUP(event_type, day)
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_simple_stats": _q01_simple_stats,
@@ -2657,6 +2781,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_heavy_hitters": _q84_heavy_hitters,
         "q85_zscore": _q85_zscore,
         "q86_asof_enrich": _q86_asof_enrich,
+        "q87_sessionize_gap": _q87_sessionize_gap,
+        "q88_cohort_retention": _q88_cohort_retention,
+        "q89_funnel": _q89_funnel,
+        "q90_rollup": _q90_rollup,
     }
 
 
@@ -3317,6 +3445,10 @@ def oracle_sql() -> dict[str, str]:
         "q84_heavy_hitters": _oracle_heavy_hitters(),
         "q85_zscore": _oracle_zscore(),
         "q86_asof_enrich": _oracle_asof_enrich(),
+        "q87_sessionize_gap": _oracle_sessionize_gap(),
+        "q88_cohort_retention": _oracle_cohort_retention(),
+        "q89_funnel": _oracle_funnel(),
+        "q90_rollup": _oracle_rollup(),
         "q52_repetition": r"""
             WITH b AS (
               SELECT doc_id,

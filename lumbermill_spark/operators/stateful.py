@@ -87,6 +87,38 @@ def merge_event(
     )
 
 
+def sessionize_gap(
+    df: DataFrame,
+    key: str,
+    ts: str = "ts",
+    gap: int = 1800,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessionization (batch twin of
+    streaming/pipeline.py's ``session_window`` aggregation): a new
+    session starts when the key has been silent for more than ``gap``.
+
+    ``gap`` is in seconds when ``ts`` is a timestamp column, else in
+    ``ts``'s own units. Adds ``session_col`` = 0-based session index
+    per key; the caller aggregates (duration, events/session, ...).
+
+    Plan: one shuffle on the key; boundary = lag-diff > gap, session
+    index = running sum of boundaries — both over the same window, so
+    Spark plans a single sort. Same inherently-per-key-ordered shape
+    (and the same hot-key caveat) as merge_event above.
+    """
+    from pyspark.sql import types as T
+
+    tcol = F.col(ts)
+    if isinstance(df.schema[ts].dataType, T.TimestampType):
+        tcol = F.unix_timestamp(tcol)
+    w = Window.partitionBy(key).orderBy(tcol)
+    prev = F.lag(tcol).over(w)
+    boundary = F.when(prev.isNull() | ((tcol - prev) > gap), 1).otherwise(0)
+    return df.withColumn(
+        session_col, (F.sum(boundary).over(w) - F.lit(1)).cast("bigint"))
+
+
 def permutate(
     df: DataFrame,
     source_field: str,

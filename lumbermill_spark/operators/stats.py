@@ -271,3 +271,89 @@ def zscore_flags(df: DataFrame, value_field: str,
             .withColumn("is_outlier",
                         F.coalesce(F.abs(z) > threshold, F.lit(False)))
             .drop("_mu", "_sd"))
+
+
+def rollup_agg(df: DataFrame, dims: list[str], aggs: list[Column],
+               total_label: str = "ALL") -> DataFrame:
+    """Hierarchical subtotals: GROUP BY ROLLUP over ``dims`` with every
+    subtotal level in one pass (Catalyst expands the rollup into a
+    single Expand + one partial-aggregated shuffle — K levels for the
+    price of ~1 aggregation, vs K separate groupBy jobs).
+
+    Subtotal rows are labeled ``total_label`` via ``grouping()`` so a
+    REAL null in a dim value stays distinguishable from the rollup's
+    synthetic null. Dims are emitted as strings (label and value share
+    a column).
+    """
+    gcols = [F.grouping(d).alias(f"_g_{d}") for d in dims]
+    out = df.rollup(*dims).agg(*aggs, *gcols)
+    sel = [
+        F.when(F.col(f"_g_{d}") == 1, F.lit(total_label))
+         .otherwise(F.col(d).cast("string")).alias(d)
+        for d in dims
+    ]
+    keep = [c for c in out.columns
+            if c not in dims and not c.startswith("_g_")]
+    return out.select(*sel, *keep)
+
+
+def cohort_retention(df: DataFrame, user: str = "user_id",
+                     ts: str = "ts", period_days: int = 7) -> DataFrame:
+    """Cohort retention matrix: bucket time into fixed ``period_days``
+    periods from the epoch (integer day arithmetic — replays exactly in
+    any engine, unlike locale-sensitive date_trunc('week')), cohort =
+    each user's first period, and count distinct users active K periods
+    later.
+
+    Plan: two partial-aggregated shuffles on the user key (first-period
+    min, then user-period distinct), then a count over (cohort, K) —
+    all map-side combinable; no row-scaled state anywhere.
+
+    Output: (cohort_period, periods_since, n_users).
+    """
+    period = (F.floor(F.unix_timestamp(F.col(ts)) / 86400)
+              / period_days)
+    per = df.select(F.col(user).alias("u"),
+                    F.floor(period).cast("bigint").alias("p"))
+    first = per.groupBy("u").agg(F.min("p").alias("p0"))
+    active = per.distinct()
+    return (active.join(first, on="u")
+            .groupBy(F.col("p0").alias("cohort_period"),
+                     (F.col("p") - F.col("p0")).alias("periods_since"))
+            .agg(F.count_distinct("u").alias("n_users")))
+
+
+def funnel_counts(df: DataFrame, steps: list[str],
+                  user: str = "user_id", ts: str = "ts",
+                  event_type: str = "event_type") -> DataFrame:
+    """Ordered-funnel analysis: how many users performed step 1, then
+    step 2 AT OR AFTER their first step-1 time, then step 3 at or after
+    that, ... (the classic product-analytics funnel; each step's
+    timestamp is the user's EARLIEST qualifying occurrence, which
+    maximizes downstream conversion — the standard semantics).
+
+    Plan: one filtered min-aggregation per step, each joined to the
+    previous step's per-user frontier on the user key. Frames shrink
+    monotonically down the funnel; every join is keyed on the user, so
+    K steps cost K small shuffles on progressively smaller sides (and
+    AQE broadcasts the frontier once it fits).
+
+    Output: (step bigint 1-based, step_name, n_users) — one row per
+    step, monotonically non-increasing n_users.
+    """
+    spark = df.sparkSession
+    tcol = F.unix_timestamp(F.col(ts))
+    base = df.select(F.col(user).alias("u"), tcol.alias("t"),
+                     F.col(event_type).alias("e"))
+    frontier = None
+    rows = []
+    for i, step in enumerate(steps):
+        stage = base.where(F.col("e") == step)
+        if frontier is not None:
+            stage = (stage.join(frontier, on="u")
+                     .where(F.col("t") >= F.col("t_prev")))
+        frontier = stage.groupBy("u").agg(F.min("t").alias("t_prev"))
+        n = frontier.count()
+        rows.append((i + 1, step, n))
+    return spark.createDataFrame(
+        rows, "step bigint, step_name string, n_users bigint")

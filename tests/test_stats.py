@@ -57,3 +57,77 @@ def test_zscore_flags(spark):
     # constant group: stddev 0 -> null zscore, never flagged
     assert all(r["zscore"] is None and not r["is_outlier"]
                for r in rows if r["g"] == "c")
+
+
+def test_sessionize_gap(spark):
+    from lumbermill_spark.operators.stateful import sessionize_gap
+
+    df = spark.createDataFrame(
+        [("u1", 0), ("u1", 100), ("u1", 2000), ("u1", 2100),
+         ("u2", 50)],
+        "k string, t int")
+    out = sessionize_gap(df, key="k", ts="t", gap=1800)
+    got = {(r.k, r.t): r.session_id for r in out.collect()}
+    # u1: 0,100 in session 0; 2000 (gap 1900 > 1800) starts session 1
+    assert got == {("u1", 0): 0, ("u1", 100): 0,
+                   ("u1", 2000): 1, ("u1", 2100): 1, ("u2", 50): 0}
+
+    # exact-gap boundary is NOT a split (strictly greater only)
+    df2 = spark.createDataFrame([("u", 0), ("u", 1800)], "k string, t int")
+    s2 = sessionize_gap(df2, key="k", ts="t", gap=1800).collect()
+    assert {r.session_id for r in s2} == {0}
+
+
+def test_cohort_retention(spark):
+    from lumbermill_spark.operators.stats import cohort_retention
+
+    day = 86400
+    df = spark.createDataFrame(
+        [("a", 0), ("a", 8 * day), ("b", 0), ("b", 1 * day),
+         ("c", 7 * day)],
+        "user_id string, es long").selectExpr(
+        "user_id", "to_timestamp(es) AS ts")
+    out = {(r.cohort_period, r.periods_since): r.n_users
+           for r in cohort_retention(df).collect()}
+    # a,b in cohort 0 (both active period 0); a returns in period 1;
+    # b's day-1 event is still period 0; c is cohort 1.
+    assert out == {(0, 0): 2, (0, 1): 1, (1, 0): 1}
+
+
+def test_funnel_counts(spark):
+    from lumbermill_spark.operators.stats import funnel_counts
+
+    rows = [
+        # u1 completes in order
+        ("u1", 10, "view"), ("u1", 20, "click"), ("u1", 30, "purchase"),
+        # u2 clicks BEFORE viewing and never re-clicks -> stops at view
+        ("u2", 5, "click"), ("u2", 10, "view"), ("u2", 20, "purchase"),
+        # u3 views only
+        ("u3", 1, "view"),
+        # u4 purchase with no view -> counted nowhere
+        ("u4", 1, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, es long, event_type string").selectExpr(
+        "user_id", "to_timestamp(es) AS ts", "event_type")
+    out = {r.step_name: r.n_users
+           for r in funnel_counts(
+               df, steps=["view", "click", "purchase"]).collect()}
+    assert out == {"view": 3, "click": 1, "purchase": 1}
+
+
+def test_rollup_agg(spark):
+    from lumbermill_spark.operators.stats import rollup_agg
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", None, 3)],
+        "d1 string, d2 string, v int")
+    out = rollup_agg(df, ["d1", "d2"],
+                     [F.sum("v").cast("long").alias("s")])
+    got = {(r.d1, r.d2): r.s for r in out.collect()}
+    # real null in d2 stays null; subtotal rows say ALL
+    assert got == {
+        ("a", "x"): 1, ("a", "y"): 2, ("b", None): 3,
+        ("a", "ALL"): 3, ("b", "ALL"): 3, ("ALL", "ALL"): 6,
+    }
