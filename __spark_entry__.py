@@ -2693,6 +2693,122 @@ def _oracle_rollup() -> str:
     """
 
 
+def _q91_pivot(spark, sf):
+    """Wide crosstab day x event_type with EXPLICIT pivot values: one
+    partial-aggregated shuffle, no distinct-values pre-job, and a batch
+    -independent schema. Missing combos are 0."""
+    ev = _t(spark, sf, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type")
+    return stats.pivot_counts(
+        ev, "day", "event_type",
+        ["click", "error", "purchase", "signup", "view"])
+
+
+def _oracle_pivot() -> str:
+    return r"""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+      count(*) FILTER (event_type = 'click') AS click,
+      count(*) FILTER (event_type = 'error') AS error,
+      count(*) FILTER (event_type = 'purchase') AS purchase,
+      count(*) FILTER (event_type = 'signup') AS signup,
+      count(*) FILTER (event_type = 'view') AS view
+    FROM events GROUP BY 1
+    """
+
+
+def _q92_rolling_avg(spark, sf):
+    """Trailing 7-row rolling mean per event_type (telemetry
+    smoothing). The order is TOTAL (es, then event_id) so the row frame
+    is tie-independent; integer floor(value) sums + one exact double
+    division keep the float engine-identical."""
+    ev = _t(spark, sf, "events").select(
+        "event_id", "event_type",
+        F.unix_timestamp("ts").alias("es"),
+        F.floor("value").cast("long").alias("fv"))
+    out = stats.rolling_agg(ev, key="event_type",
+                            order_by=["es", "event_id"],
+                            value_field="fv", n=7)
+    return out.select("event_id", "event_type",
+                      "roll_sum", "roll_n", "roll_avg")
+
+
+def _oracle_rolling_avg() -> str:
+    return r"""
+    WITH e AS (
+      SELECT event_id, event_type,
+        CAST(floor(epoch(ts)) AS BIGINT) AS es,
+        CAST(floor(value) AS BIGINT) AS fv
+      FROM events)
+    SELECT event_id, event_type,
+      sum(fv) OVER w AS roll_sum,
+      count(*) OVER w AS roll_n,
+      round(CAST(sum(fv) OVER w AS DOUBLE) / (count(*) OVER w), 4)
+        AS roll_avg
+    FROM e WINDOW w AS (PARTITION BY event_type ORDER BY es, event_id
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """
+
+
+def _q93_tfidf(spark, sf):
+    """Top-3 terms per document by smoothed tf-idf (curation keyword
+    tagging): (doc,term) counts partial-aggregated from one scan, df
+    aggregated over that counts frame, N broadcast; ranking on the
+    ROUNDED score with a term tiebreak (training/textstats.py)."""
+    docs = _t(spark, sf, "documents")
+    return textstats.tf_idf_top_terms(docs, k=3)
+
+
+def _oracle_tfidf() -> str:
+    return r"""
+    WITH t AS (
+      SELECT doc_id, lower(w) AS term FROM (
+        SELECT doc_id,
+          unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents) WHERE w <> ''
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2
+    ), dfq AS (
+      SELECT term, count(*) AS dfreq FROM tf GROUP BY 1
+    ), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    s AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfq.dfreq,
+        round(tf.tf * ln(CAST(n.n_docs + 1 AS DOUBLE)
+                         / (dfq.dfreq + 1)), 4) AS score
+      FROM tf JOIN dfq USING (term), n
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, term) AS rank FROM s)
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+      CAST(dfreq AS BIGINT) AS dfreq, score,
+      CAST(rank AS INTEGER) AS rank
+    FROM r WHERE rank <= 3
+    """
+
+
+def _q94_inverted_index(spark, sf):
+    """Search-index prep: term -> document frequency + first 10 sorted
+    doc-id postings (comma-joined string so the row replays across
+    engines). Explode -> distinct pairs -> one term-keyed groupBy."""
+    from lumbermill_spark.training import tokenize
+
+    docs = _t(spark, sf, "documents")
+    return tokenize.inverted_index(docs, max_postings=10)
+
+
+def _oracle_inverted_index() -> str:
+    return r"""
+    WITH t AS (
+      SELECT DISTINCT lower(w) AS term, doc_id AS d FROM (
+        SELECT doc_id,
+          unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents) WHERE w <> '')
+    SELECT term, count(*) AS dfreq,
+      array_to_string(list_slice(list_sort(list(d)), 1, 10), ',')
+        AS postings
+    FROM t GROUP BY term
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_simple_stats": _q01_simple_stats,
@@ -2785,6 +2901,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_cohort_retention": _q88_cohort_retention,
         "q89_funnel": _q89_funnel,
         "q90_rollup": _q90_rollup,
+        "q91_pivot": _q91_pivot,
+        "q92_rolling_avg": _q92_rolling_avg,
+        "q93_tfidf": _q93_tfidf,
+        "q94_inverted_index": _q94_inverted_index,
     }
 
 
@@ -3449,6 +3569,10 @@ def oracle_sql() -> dict[str, str]:
         "q88_cohort_retention": _oracle_cohort_retention(),
         "q89_funnel": _oracle_funnel(),
         "q90_rollup": _oracle_rollup(),
+        "q91_pivot": _oracle_pivot(),
+        "q92_rolling_avg": _oracle_rolling_avg(),
+        "q93_tfidf": _oracle_tfidf(),
+        "q94_inverted_index": _oracle_inverted_index(),
         "q52_repetition": r"""
             WITH b AS (
               SELECT doc_id,

@@ -357,3 +357,42 @@ def funnel_counts(df: DataFrame, steps: list[str],
         rows.append((i + 1, step, n))
     return spark.createDataFrame(
         rows, "step bigint, step_name string, n_users bigint")
+
+
+def pivot_counts(df: DataFrame, row_key: str | Column, pivot_col: str,
+                 values: list[str]) -> DataFrame:
+    """Wide crosstab: one row per ``row_key``, one count column per
+    ``pivot_col`` value. ``values`` is EXPLICIT (required): Spark then
+    plans the pivot as one partial-aggregated shuffle with no extra
+    distinct-values job, and the output schema is stable regardless of
+    which values happen to appear in a given batch — both properties
+    you want when the batch is one slice of a 100 TB table. Missing
+    combinations are 0, not null."""
+    key = F.col(row_key).alias(row_key) if isinstance(row_key, str) else row_key
+    out = df.groupBy(key).pivot(pivot_col, values).agg(
+        F.count(F.lit(1)))
+    return out.select(
+        out.columns[0],
+        *[F.coalesce(F.col(f"`{v}`"), F.lit(0)).cast("bigint").alias(v)
+          for v in values])
+
+
+def rolling_agg(df: DataFrame, key: str, order_by: list[str],
+                value_field: str, n: int = 7,
+                round_to: int = 4) -> DataFrame:
+    """Trailing n-row rolling mean per key (telemetry smoothing).
+    ``order_by`` must be a TOTAL order (include a unique id after the
+    timestamp) or the frame contents — and therefore the result — are
+    tie-dependent. One sort/shuffle on the key; the frame is row-based
+    so state per row is O(1). Adds roll_sum / roll_n / roll_avg."""
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(key)
+         .orderBy(*[F.col(c) for c in order_by])
+         .rowsBetween(-(n - 1), Window.currentRow))
+    s = F.sum(value_field).over(w)
+    c = F.count(F.lit(1)).over(w)
+    return (df.withColumn("roll_sum", s.cast("bigint"))
+              .withColumn("roll_n", c.cast("bigint"))
+              .withColumn("roll_avg",
+                          F.round(s.cast("double") / c, round_to)))

@@ -11,7 +11,7 @@ reproducibility, not model-grade accuracy.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from lumbermill_spark.functions.skew import ensure_min_parallelism
@@ -494,3 +494,44 @@ def normalize_text(
     out = df.withColumn(
         tgt, F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(c))
     return out
+
+
+def tf_idf_top_terms(df: DataFrame, k: int = 3,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Top-k terms per document by smoothed tf-idf:
+    ``score = tf * ln((N + 1) / (df + 1))`` — the retrieval-style
+    keyword extraction a curation pipeline uses for topic tagging.
+
+    Plan: one scan -> explode lowered words -> (doc, term) counts
+    (partial-aggregated); document frequency is a second aggregate OVER
+    that counts frame (never re-scans text); N is a 1-row broadcast.
+    Ranking runs per-doc over each doc's own terms only. Scores are
+    ranked and emitted ROUNDED so the float replays across engines
+    (same exposure as unigram surprisal above); ties break on the term.
+
+    Output: (doc_id, term, tf, dfreq, score, rank).
+    """
+    terms = (df.select(F.col(id_col),
+                       F.explode(words(F.col(text_col))).alias("w"))
+             .where(F.col("w") != "")
+             .select(id_col, F.lower("w").alias("term")))
+    tf = terms.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    n_docs = df.select(
+        F.count_distinct(F.col(id_col)).alias("n_docs"))
+    scored = (tf.join(dfreq, on="term")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn(
+                  "score",
+                  F.round(F.col("tf") * F.log(
+                      (F.col("n_docs") + 1).cast("double")
+                      / (F.col("dfreq") + 1)), 4)))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k)
+            .select(id_col, "term", F.col("tf").cast("bigint").alias("tf"),
+                    F.col("dfreq").cast("bigint").alias("dfreq"),
+                    "score", "rank"))

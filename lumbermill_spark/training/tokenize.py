@@ -225,3 +225,35 @@ def bigram_surprisal(
         .when(F.col("mean_surprisal") <= F.col("t2"), F.lit("middle"))
         .otherwise(F.lit("tail")).alias("ppl_bucket"),
     )
+
+
+def inverted_index(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   max_postings: int = 10) -> DataFrame:
+    """Search-index preparation: term -> document frequency + the first
+    ``max_postings`` doc ids (sorted ascending), postings emitted as a
+    comma-joined string so the row is engine-comparable.
+
+    Plan: explode lowered words -> distinct (term, doc) -> one groupBy
+    on the term. ``collect_set`` state is the per-term posting set; the
+    emitted slice is capped, but the in-flight set for a stopword-like
+    term is its full df — at corpus scale drop ultra-high-df terms
+    first (they're never useful postings) via ``max_df``.
+    """
+    pairs = (ensure_min_parallelism(df)
+             .select(F.col(id_col).alias("d"),
+                     F.explode(words(F.col(text_col))).alias("w"))
+             .where(F.col("w") != "")
+             .select(F.lower("w").alias("term"), "d")
+             .distinct())
+    return (pairs.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("dfreq"),
+                 F.array_join(
+                     F.slice(
+                         F.transform(
+                             F.array_sort(F.collect_set("d")),
+                             lambda x: x.cast("string")),
+                         1, max_postings),
+                     ",").alias("postings"))
+            .select("term", F.col("dfreq").cast("bigint").alias("dfreq"),
+                    "postings"))

@@ -131,3 +131,29 @@ def test_rollup_agg(spark):
         ("a", "x"): 1, ("a", "y"): 2, ("b", None): 3,
         ("a", "ALL"): 3, ("b", "ALL"): 3, ("ALL", "ALL"): 6,
     }
+
+
+def test_pivot_counts(spark):
+    from lumbermill_spark.operators.stats import pivot_counts
+
+    df = spark.createDataFrame(
+        [("d1", "a"), ("d1", "a"), ("d1", "b"), ("d2", "b")],
+        "day string, et string")
+    out = {r.day: (r.a, r.b, r.c)
+           for r in pivot_counts(df, "day", "et", ["a", "b", "c"]).collect()}
+    # explicit values: schema is fixed, missing combos are 0 (incl. a
+    # value absent from the data entirely)
+    assert out == {"d1": (2, 1, 0), "d2": (0, 1, 0)}
+
+
+def test_rolling_agg(spark):
+    from lumbermill_spark.operators.stats import rolling_agg
+
+    df = spark.createDataFrame(
+        [("k", 1, 10), ("k", 2, 20), ("k", 3, 30), ("k", 4, 40)],
+        "g string, seq int, v int")
+    out = {r.seq: (r.roll_sum, r.roll_n, r.roll_avg)
+           for r in rolling_agg(df, key="g", order_by=["seq"],
+                                value_field="v", n=3).collect()}
+    assert out == {1: (10, 1, 10.0), 2: (30, 2, 15.0),
+                   3: (60, 3, 20.0), 4: (90, 3, 30.0)}

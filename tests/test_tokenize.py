@@ -152,3 +152,31 @@ def test_kmeans_refine(spark):
         assert c in ([1.0, 0.0], [0.0, 1.0], [0.5, 0.5])
     with pytest.raises(ValueError, match="n_iter"):
         similarity.kmeans_refine(df, n_iter=0)
+
+
+def test_tf_idf_top_terms(spark):
+    from lumbermill_spark.training.textstats import tf_idf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry"), (3, "cherry")],
+        "doc_id int, text string")
+    out = tf_idf_top_terms(df, k=1).collect()
+    top = {r.doc_id: (r.term, r.tf, r.dfreq) for r in out}
+    # 'apple' (tf=2, df=1) dominates doc 1; doc 3's only term wins
+    assert top[1] == ("apple", 2, 1)
+    assert top[3] == ("cherry", 1, 2)
+    assert all(r.rank == 1 for r in out)
+
+
+def test_inverted_index(spark):
+    from lumbermill_spark.training.tokenize import inverted_index
+
+    df = spark.createDataFrame(
+        [(3, "x y"), (1, "x  y x"), (2, "X z")],
+        "doc_id int, text string")
+    out = {r.term: (r.dfreq, r.postings)
+           for r in inverted_index(df, max_postings=2).collect()}
+    # case-folded, postings sorted ascending and capped at 2 of 3 docs
+    assert out["x"] == (3, "1,2")
+    assert out["y"] == (2, "1,3")
+    assert out["z"] == (1, "2")
