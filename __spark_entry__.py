@@ -2809,6 +2809,101 @@ def _oracle_inverted_index() -> str:
     """
 
 
+def _q95_json_profile(spark, sf):
+    """Schema discovery over heterogeneous JSON: per-type payloads
+    (purchase ships amount+currency, error ships code, the rest ship
+    the raw props) profiled into key -> presence count + pct. The
+    profiling is the operator (stats.json_key_profile); the payload
+    synthesis is format_string mirrored by printf on the oracle side."""
+    ev = _t(spark, sf, "events")
+    j = ev.select(
+        F.when(F.col("event_type") == "purchase",
+               F.format_string('{"k": %d, "amount": %d, "currency": "usd"}',
+                               F.col("user_id"),
+                               F.floor("value").cast("long")))
+         .when(F.col("event_type") == "error",
+               F.format_string('{"k": %d, "code": 500}', F.col("user_id")))
+         .otherwise(F.col("props")).alias("p"))
+    return stats.json_key_profile(j, "p")
+
+
+def _oracle_json_profile() -> str:
+    return r"""
+    WITH j AS (
+      SELECT CASE event_type
+        WHEN 'purchase' THEN printf('{"k": %d, "amount": %d, "currency": "usd"}',
+                                    user_id, CAST(floor(value) AS BIGINT))
+        WHEN 'error' THEN printf('{"k": %d, "code": 500}', user_id)
+        ELSE props END AS p
+      FROM events
+    ), t AS (SELECT count(*) AS n FROM events),
+    k AS (SELECT unnest(json_keys(p)) AS key FROM j)
+    SELECT key, count(*) AS n_present,
+      round(count(*) * 100.0 / (SELECT n FROM t), 2) AS pct
+    FROM k GROUP BY key
+    """
+
+
+def _q96_ntile_buckets(spark, sf):
+    """Equal-frequency decile bucketing per event_type on floor(value)
+    (curriculum/difficulty binning), aggregated to one row per
+    (type, decile). The ntile order is TOTAL (fv, event_id) so bucket
+    edges are tie-independent."""
+    ev = _t(spark, sf, "events").select(
+        "event_id", "event_type",
+        F.floor("value").cast("long").alias("fv"))
+    b = stats.ntile_buckets(ev, key="event_type",
+                            order_by=["fv", "event_id"], n=10)
+    return (b.groupBy("event_type",
+                      F.col("bucket").cast("int").alias("decile"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("fv").alias("min_fv"), F.max("fv").alias("max_fv")))
+
+
+def _oracle_ntile_buckets() -> str:
+    return r"""
+    WITH e AS (
+      SELECT event_id, event_type, CAST(floor(value) AS BIGINT) AS fv
+      FROM events
+    ), b AS (
+      SELECT event_type, fv,
+        ntile(10) OVER (PARTITION BY event_type
+                        ORDER BY fv, event_id) AS decile
+      FROM e)
+    SELECT event_type, CAST(decile AS INTEGER) AS decile,
+      count(*) AS n, min(fv) AS min_fv, max(fv) AS max_fv
+    FROM b GROUP BY 1, 2
+    """
+
+
+def _q97_inter_arrival(spark, sf):
+    """Per-type inter-arrival-time profile (stream burstiness / rate
+    health): gap since the type's previous event, then count / mean /
+    exact interpolated p50+p95. Order totalized with event_id so equal
+    timestamps never make gaps run-dependent."""
+    ev = _t(spark, sf, "events")
+    return stats.inter_arrival_stats(ev, key="event_type", ts="ts",
+                                     id_col="event_id")
+
+
+def _oracle_inter_arrival() -> str:
+    return r"""
+    WITH e AS (
+      SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es, event_id
+      FROM events
+    ), g AS (
+      SELECT event_type,
+        es - lag(es) OVER (PARTITION BY event_type
+                           ORDER BY es, event_id) AS gap
+      FROM e)
+    SELECT event_type, count(*) AS n_gaps,
+      round(avg(gap), 2) AS avg_gap,
+      round(quantile_cont(gap, 0.5), 2) AS p50_gap,
+      round(quantile_cont(gap, 0.95), 2) AS p95_gap
+    FROM g WHERE gap IS NOT NULL GROUP BY event_type
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_simple_stats": _q01_simple_stats,
@@ -2905,6 +3000,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_rolling_avg": _q92_rolling_avg,
         "q93_tfidf": _q93_tfidf,
         "q94_inverted_index": _q94_inverted_index,
+        "q95_json_profile": _q95_json_profile,
+        "q96_ntile_buckets": _q96_ntile_buckets,
+        "q97_inter_arrival": _q97_inter_arrival,
     }
 
 
@@ -3573,6 +3671,9 @@ def oracle_sql() -> dict[str, str]:
         "q92_rolling_avg": _oracle_rolling_avg(),
         "q93_tfidf": _oracle_tfidf(),
         "q94_inverted_index": _oracle_inverted_index(),
+        "q95_json_profile": _oracle_json_profile(),
+        "q96_ntile_buckets": _oracle_ntile_buckets(),
+        "q97_inter_arrival": _oracle_inter_arrival(),
         "q52_repetition": r"""
             WITH b AS (
               SELECT doc_id,

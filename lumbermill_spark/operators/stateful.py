@@ -110,7 +110,8 @@ def sessionize_gap(
     from pyspark.sql import types as T
 
     tcol = F.col(ts)
-    if isinstance(df.schema[ts].dataType, T.TimestampType):
+    if isinstance(df.schema[ts].dataType,
+                  (T.TimestampType, T.TimestampNTZType)):
         tcol = F.unix_timestamp(tcol)
     w = Window.partitionBy(key).orderBy(tcol)
     prev = F.lag(tcol).over(w)

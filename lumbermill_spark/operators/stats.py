@@ -396,3 +396,72 @@ def rolling_agg(df: DataFrame, key: str, order_by: list[str],
               .withColumn("roll_n", c.cast("bigint"))
               .withColumn("roll_avg",
                           F.round(s.cast("double") / c, round_to)))
+
+
+def json_key_profile(df: DataFrame, json_col: str) -> DataFrame:
+    """Schema discovery over heterogeneous JSON payloads: top-level key
+    -> rows containing it + presence percentage (how a pipeline learns
+    what fields a new log source actually ships before anyone writes a
+    parser for it; the reference's parser.Json decodes blind —
+    /root/reference/lumbermill/parser/Json.py — this is the profiling
+    step in front of it).
+
+    Plan: json_object_keys is a pure JVM expression; explode -> one
+    partial-aggregated key count; total row count is a 1-row broadcast.
+    Malformed/null JSON contributes no keys but still counts in the
+    denominator. Output: (key, n_present, pct 2dp).
+    """
+    total = df.select(F.count(F.lit(1)).alias("_n"))
+    keys = (df.select(
+                F.explode(
+                    F.coalesce(F.json_object_keys(F.col(json_col)),
+                               F.array().cast("array<string>"))
+                ).alias("key"))
+            .groupBy("key").agg(F.count(F.lit(1)).alias("n_present")))
+    return (keys.crossJoin(F.broadcast(total))
+            .select("key",
+                    F.col("n_present").cast("bigint").alias("n_present"),
+                    F.round(F.col("n_present") * 100.0 / F.col("_n"), 2)
+                     .alias("pct")))
+
+
+def ntile_buckets(df: DataFrame, key: str, order_by: list[str],
+                  n: int = 10) -> DataFrame:
+    """Equal-frequency quantile bucketing per key (difficulty /
+    curriculum binning): ntile(n) over a TOTAL order — include a unique
+    id in ``order_by`` or bucket edges are tie-dependent. One
+    sort/shuffle on the key; adds ``bucket`` (1-based int)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(*[F.col(c) for c in order_by])
+    return df.withColumn("bucket", F.ntile(n).over(w).cast("int"))
+
+
+def inter_arrival_stats(df: DataFrame, key: str, ts: str = "ts",
+                        id_col: str | None = None) -> DataFrame:
+    """Per-key inter-arrival-time profile (burstiness / rate health of
+    a telemetry stream): gap = time since the key's previous event,
+    then count / mean / exact interpolated p50+p95 per key. Ordering is
+    totalized with ``id_col`` so equal timestamps don't make gaps
+    run-dependent. One window shuffle on the key; the percentile is an
+    exact aggregate over the gaps (fine per key; for corpus-wide
+    percentiles at 100 TB switch to approx_percentile).
+
+    Output: (key, n_gaps, avg_gap, p50_gap, p95_gap) — seconds, 2dp.
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql import Window
+
+    tcol = F.col(ts)
+    if isinstance(df.schema[ts].dataType,
+                  (T.TimestampType, T.TimestampNTZType)):
+        tcol = F.unix_timestamp(tcol)
+    order = [tcol] + ([F.col(id_col)] if id_col else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    gaps = (df.withColumn("_gap", tcol - F.lag(tcol).over(w))
+              .where(F.col("_gap").isNotNull()))
+    return gaps.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.avg("_gap"), 2).alias("avg_gap"),
+        F.round(F.percentile("_gap", F.lit(0.5)), 2).alias("p50_gap"),
+        F.round(F.percentile("_gap", F.lit(0.95)), 2).alias("p95_gap"))

@@ -157,3 +157,42 @@ def test_rolling_agg(spark):
                                 value_field="v", n=3).collect()}
     assert out == {1: (10, 1, 10.0), 2: (30, 2, 15.0),
                    3: (60, 3, 20.0), 4: (90, 3, 30.0)}
+
+
+def test_json_key_profile(spark):
+    from lumbermill_spark.operators.stats import json_key_profile
+
+    df = spark.createDataFrame(
+        [('{"a": 1, "b": 2}',), ('{"a": 3}',), ("not json",), (None,)],
+        "j string")
+    out = {r.key: (r.n_present, r.pct)
+           for r in json_key_profile(df, "j").collect()}
+    # malformed/null rows add no keys but stay in the denominator
+    assert out == {"a": (2, 50.0), "b": (1, 25.0)}
+
+
+def test_ntile_buckets(spark):
+    from lumbermill_spark.operators.stats import ntile_buckets
+
+    df = spark.createDataFrame(
+        [("k", i, i) for i in range(10)], "g string, id int, v int")
+    out = {r.id: r.bucket
+           for r in ntile_buckets(df, "g", ["v", "id"], n=5).collect()}
+    assert out == {0: 1, 1: 1, 2: 2, 3: 2, 4: 3,
+                   5: 3, 6: 4, 7: 4, 8: 5, 9: 5}
+
+
+def test_inter_arrival_stats(spark):
+    from lumbermill_spark.operators.stats import inter_arrival_stats
+
+    df = spark.createDataFrame(
+        [("k", 0, 1), ("k", 10, 2), ("k", 30, 3), ("k", 60, 4),
+         ("solo", 5, 5)],
+        "g string, t int, id int")
+    rows = {r.g: r for r in
+            inter_arrival_stats(df, key="g", ts="t", id_col="id").collect()}
+    k = rows["k"]
+    # gaps: 10, 20, 30 -> mean 20, p50 20, p95 interpolated 29.0
+    assert (k.n_gaps, k.avg_gap, k.p50_gap, k.p95_gap) == (3, 20.0, 20.0, 29.0)
+    # a key with a single event has no gaps -> no row
+    assert "solo" not in rows
