@@ -225,3 +225,62 @@ def test_dissect_inverts_format(spark, rows):
     for i, (a, b, c) in enumerate(rows):
         r = out[i]
         assert (r["x"], r["y"], r["z"]) == (a, b, c), (a, b, c, r)
+
+
+# --- as-of join vs brute force -------------------------------------
+
+_asof_fact = st.tuples(st.sampled_from(["a", "b", "c"]),
+                       st.integers(min_value=0, max_value=50))
+_asof_dim = st.tuples(st.sampled_from(["a", "b", "c"]),
+                      st.integers(min_value=0, max_value=50))
+
+
+@given(st.lists(_asof_fact, min_size=1, max_size=20),
+       st.lists(_asof_dim, min_size=0, max_size=10, unique=True))
+@SET
+def test_asof_join_matches_bruteforce(spark, facts, dims):
+    """asof_join == per-row argmax(valid_from <= t) brute force, both
+    directions, for any key/time layout (incl. empty dims)."""
+    from lumbermill_spark.operators.lookup import asof_join
+
+    fdf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(facts)],
+        "k string, t int, fid int")
+    ddf = spark.createDataFrame(
+        [(k, t, f"v{k}{t}") for (k, t) in dims],
+        "k string, valid_from int, cfg string")
+    if not dims:
+        ddf = spark.createDataFrame([], "k string, valid_from int, cfg string")
+
+    got_b = {r.fid: r.cfg for r in asof_join(fdf, ddf, on="k", ts="t").collect()}
+    got_f = {r.fid: r.cfg
+             for r in asof_join(fdf, ddf, on="k", ts="t",
+                                direction="forward").collect()}
+    for i, (k, t) in enumerate(facts):
+        back = [vf for (dk, vf) in dims if dk == k and vf <= t]
+        fwd = [vf for (dk, vf) in dims if dk == k and vf >= t]
+        assert got_b[i] == (f"v{k}{max(back)}" if back else None), (i, k, t)
+        assert got_f[i] == (f"v{k}{min(fwd)}" if fwd else None), (i, k, t)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=200),
+                min_size=1, max_size=30),
+       st.integers(min_value=1, max_value=40))
+@SET
+def test_sessionize_gap_matches_bruteforce(spark, times, gap):
+    """Session ids are the running count of >gap silences over the
+    sorted timeline, for any times (incl. duplicates) and any gap."""
+    from lumbermill_spark.operators.stateful import sessionize_gap
+
+    df = spark.createDataFrame([("k", t) for t in times], "k string, t int")
+    out = sessionize_gap(df, key="k", ts="t", gap=gap).collect()
+
+    ordered = sorted(times)
+    expect = {}
+    sid = 0
+    for i, t in enumerate(ordered):
+        if i > 0 and t - ordered[i - 1] > gap:
+            sid += 1
+        expect[t] = sid  # duplicates land in the same session
+    for r in out:
+        assert r.session_id == expect[r.t], (r.t, gap, ordered)
