@@ -2904,6 +2904,50 @@ def _oracle_inter_arrival() -> str:
     """
 
 
+def _q98_dedup_keep_best(spark, sf):
+    """q34's near-dup keep-set with the keep policy real curation
+    pipelines use: per duplicate cluster keep the LONGEST member
+    (RefinedWeb), ties to the lowest doc_id — not the lowest id
+    unconditionally. Same LSH pairs + connected components; one extra
+    score join + component max_by."""
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=16,
+                                    shingle_n=3, threshold=0.2)
+    kept = dedup.dedup_keep_best(docs, pairs, order_col="n_chars")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("sum_chars"))
+
+
+def _oracle_dedup_keep_best() -> str:
+    return f"""
+    WITH RECURSIVE {_exact_pairs_cte(0.2)},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
+    ),
+    comp AS (SELECT node, least(node, min(r)) AS component
+             FROM reach GROUP BY node),
+    ranked AS (
+      SELECT m.node,
+        row_number() OVER (PARTITION BY m.component
+                           ORDER BY d.n_chars DESC, m.node) AS rn
+      FROM comp m JOIN documents d ON d.doc_id = m.node),
+    drops AS (SELECT node FROM ranked WHERE rn > 1)
+    SELECT d.source, count(*) AS n_kept,
+           CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+    FROM documents d LEFT JOIN drops ON drops.node = d.doc_id
+    WHERE drops.node IS NULL
+    GROUP BY 1
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_simple_stats": _q01_simple_stats,
@@ -3003,6 +3047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_json_profile": _q95_json_profile,
         "q96_ntile_buckets": _q96_ntile_buckets,
         "q97_inter_arrival": _q97_inter_arrival,
+        "q98_dedup_keep_best": _q98_dedup_keep_best,
     }
 
 
@@ -3674,6 +3719,7 @@ def oracle_sql() -> dict[str, str]:
         "q95_json_profile": _oracle_json_profile(),
         "q96_ntile_buckets": _oracle_ntile_buckets(),
         "q97_inter_arrival": _oracle_inter_arrival(),
+        "q98_dedup_keep_best": _oracle_dedup_keep_best(),
         "q52_repetition": r"""
             WITH b AS (
               SELECT doc_id,

@@ -548,6 +548,41 @@ def dedup_keep_set(
     return df.join(drop, on=id_col, how="left_anti")
 
 
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    order_col: str,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Quality-aware variant of :func:`dedup_keep_set`: per duplicate
+    cluster keep the member with the HIGHEST ``order_col`` (ties break
+    to the lowest id), not the lowest id — the keep policy real
+    curation pipelines use (RefinedWeb keeps the longest document,
+    quality-filtered corpora keep the best-scoring one).
+
+    ``order_col`` must be non-null for every paired document (score,
+    n_chars, ...); ids may be any orderable type (numeric or string).
+    Cost over dedup_keep_set: one id-keyed join to attach scores + two
+    component-keyed partial aggs (max score, then min id among the
+    maximizers) — component-sized frames, nothing row-scaled on the
+    driver.
+    """
+    comp = connected_components(pairs, a_col, b_col)
+    scored = comp.join(
+        df.select(F.col(id_col).alias("id"),
+                  F.col(order_col).alias("_score")), on="id")
+    best = scored.groupBy("component").agg(F.max("_score").alias("_best"))
+    winners = (scored.join(best, on="component")
+               .where(F.col("_score") == F.col("_best"))
+               .groupBy("component").agg(F.min("id").alias("_win")))
+    drop = (comp.join(winners, on="component")
+            .where(F.col("id") != F.col("_win"))
+            .select(F.col("id").alias(id_col)))
+    return df.join(drop, on=id_col, how="left_anti")
+
+
 # --------------------------------------------------------------------- #
 # SimHash
 

@@ -908,3 +908,26 @@ def test_image_ahash(spark):
     # channel-mean grayscale of an R=G=B image equals the gray image
     assert out["rgb"]["ahash"] == out["grad"]["ahash"]
     assert out["null"]["ahash"] is None
+
+
+def test_dedup_keep_best(spark):
+    from lumbermill_spark.training import dedup
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 50), (4, 7), (5, 99)],
+        "doc_id long, n_chars long")
+    # chain 1~2, 2~3 => one cluster {1,2,3}; 4~5 a second; nothing else
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long")
+    kept = sorted(r.doc_id for r in
+                  dedup.dedup_keep_best(docs, pairs, "n_chars").collect())
+    # cluster {1,2,3}: 2 wins on n_chars; {4,5}: 5 wins (99 > 7)
+    assert kept == [2, 5]
+
+    # tie on score -> lowest id wins
+    docs2 = spark.createDataFrame([(7, 10), (8, 10)],
+                                  "doc_id long, n_chars long")
+    pairs2 = spark.createDataFrame([(7, 8)], "id_a long, id_b long")
+    kept2 = [r.doc_id for r in
+             dedup.dedup_keep_best(docs2, pairs2, "n_chars").collect()]
+    assert kept2 == [7]
