@@ -2948,6 +2948,35 @@ def _oracle_dedup_keep_best() -> str:
     """
 
 
+def _q99_active_users(spark, sf):
+    """DAU + trailing-7-day WAU per observed day. Spark windows can't
+    COUNT DISTINCT, so the plan is contribution-explode over the
+    already-deduped (day,user) pair table — fixed 7x expansion, second
+    distinct, count; linear in user-days (stats.active_users)."""
+    ev = _t(spark, sf, "events")
+    return stats.active_users(ev, user="user_id", ts="ts",
+                              window_days=7)
+
+
+def _oracle_active_users() -> str:
+    return r"""
+    WITH p AS (
+      SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+        user_id AS u
+      FROM events
+    ), days AS (SELECT DISTINCT d FROM p),
+    dau AS (SELECT d, count(*) AS dau FROM p GROUP BY d),
+    contrib AS (
+      SELECT DISTINCT p.d + k AS d, p.u
+      FROM p, unnest([0, 1, 2, 3, 4, 5, 6]) AS t(k)
+    ), wau AS (
+      SELECT c.d, count(*) AS wau
+      FROM contrib c JOIN days USING (d) GROUP BY c.d)
+    SELECT dau.d AS day, dau.dau, wau.wau
+    FROM dau JOIN wau ON dau.d = wau.d
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_simple_stats": _q01_simple_stats,
@@ -3048,6 +3077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_ntile_buckets": _q96_ntile_buckets,
         "q97_inter_arrival": _q97_inter_arrival,
         "q98_dedup_keep_best": _q98_dedup_keep_best,
+        "q99_active_users": _q99_active_users,
     }
 
 
@@ -3720,6 +3750,7 @@ def oracle_sql() -> dict[str, str]:
         "q96_ntile_buckets": _oracle_ntile_buckets(),
         "q97_inter_arrival": _oracle_inter_arrival(),
         "q98_dedup_keep_best": _oracle_dedup_keep_best(),
+        "q99_active_users": _oracle_active_users(),
         "q52_repetition": r"""
             WITH b AS (
               SELECT doc_id,

@@ -465,3 +465,33 @@ def inter_arrival_stats(df: DataFrame, key: str, ts: str = "ts",
         F.round(F.avg("_gap"), 2).alias("avg_gap"),
         F.round(F.percentile("_gap", F.lit(0.5)), 2).alias("p50_gap"),
         F.round(F.percentile("_gap", F.lit(0.95)), 2).alias("p95_gap"))
+
+
+def active_users(df: DataFrame, user: str = "user_id", ts: str = "ts",
+                 window_days: int = 7) -> DataFrame:
+    """Daily + trailing-window active users (DAU/WAU — the telemetry
+    health metric every log pipeline ends up computing). Spark windows
+    can't COUNT DISTINCT, so the scale-safe plan is contribution
+    explode: each distinct (day, user) pair supports the trailing
+    windows of days day..day+W-1 — a fixed W-fold expansion of the
+    ALREADY-DEDUPED pair table (one row per user-day, not per event),
+    then a second distinct + count. Linear in user-days, no per-day
+    re-scan, no quadratic self-join; W is a constant.
+
+    Trailing days are restricted to days observed in the data.
+    Output: (day = epoch-day number, dau, wau).
+    """
+    d = F.floor(F.unix_timestamp(F.col(ts)) / 86400).cast("long")
+    p = df.select(d.alias("d"), F.col(user).alias("u")).distinct()
+    days = p.select("d").distinct()
+    dau = p.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = (p.select(
+        F.explode(F.sequence(F.col("d"),
+                             F.col("d") + (window_days - 1))).alias("d"),
+        "u").distinct())
+    wau = (contrib.join(days, on="d")
+           .groupBy("d").agg(F.count(F.lit(1)).alias("wau")))
+    return (dau.join(wau, on="d")
+            .select(F.col("d").alias("day"),
+                    F.col("dau").cast("bigint").alias("dau"),
+                    F.col("wau").cast("bigint").alias("wau")))

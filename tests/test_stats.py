@@ -196,3 +196,19 @@ def test_inter_arrival_stats(spark):
     assert (k.n_gaps, k.avg_gap, k.p50_gap, k.p95_gap) == (3, 20.0, 20.0, 29.0)
     # a key with a single event has no gaps -> no row
     assert "solo" not in rows
+
+
+def test_active_users(spark):
+    from lumbermill_spark.operators.stats import active_users
+
+    day = 86400
+    rows = [("u1", 0), ("u1", 0), ("u2", 0),       # day 0: u1,u2
+            ("u1", 1 * day),                       # day 1: u1
+            ("u3", 8 * day)]                       # day 8: u3
+    df = spark.createDataFrame(rows, "user_id string, es long") \
+        .selectExpr("user_id", "to_timestamp(es) AS ts")
+    out = {r.day: (r.dau, r.wau)
+           for r in active_users(df, window_days=7).collect()}
+    # day 0: dau 2, wau 2; day 1: dau 1, wau {u1,u2}=2
+    # day 8: dau 1, wau {u3} only (day-1 activity fell out of [2..8])
+    assert out == {0: (2, 2), 1: (1, 2), 8: (1, 1)}
