@@ -2977,6 +2977,56 @@ def _oracle_active_users() -> str:
     """
 
 
+def _q100_star_join(spark, sf):
+    """TPC-H Q5-shaped star join (local-supplier volume, ASIA, 1996):
+    the OLAP counterpart to the pipeline queries. lineitem joins orders
+    on the fact keys (big-big: one shuffle pair, AQE-planned), the
+    dimension chain customer->supplier->nation->region rides broadcast
+    joins, and the date + region filters push into the scans so the
+    fact side is pruned before the first shuffle. The same-nation
+    predicate (customer's nation == supplier's nation) is the join
+    condition that makes Q5 'local volume'."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    out = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+           .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+           .join(F.broadcast(s),
+                 (F.col("l_suppkey") == s["s_suppkey"])
+                 & (F.col("c_nationkey") == s["s_nationkey"]))
+           .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+           .join(F.broadcast(r), F.col("n_regionkey") == r["r_regionkey"]))
+    return (out.groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+def _oracle_star_join() -> str:
+    return r"""
+    SELECT n_name,
+      round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      count(*) AS n_items
+    FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+                   AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_simple_stats": _q01_simple_stats,
@@ -3078,6 +3128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_inter_arrival": _q97_inter_arrival,
         "q98_dedup_keep_best": _q98_dedup_keep_best,
         "q99_active_users": _q99_active_users,
+        "q100_star_join": _q100_star_join,
     }
 
 
@@ -3751,6 +3802,7 @@ def oracle_sql() -> dict[str, str]:
         "q97_inter_arrival": _oracle_inter_arrival(),
         "q98_dedup_keep_best": _oracle_dedup_keep_best(),
         "q99_active_users": _oracle_active_users(),
+        "q100_star_join": _oracle_star_join(),
         "q52_repetition": r"""
             WITH b AS (
               SELECT doc_id,
