@@ -3027,6 +3027,41 @@ def _oracle_star_join() -> str:
     """
 
 
+def _q101_budget_trim(spark, sf):
+    """Budget-constrained corpus selection: per source keep documents
+    in md5-hash order until the next doc would push cumulative n_chars
+    past 50k ('<=1B tokens per source, reproducibly' at corpus scale).
+    One window shuffle; totals never exceed the budget
+    (training/sampling.token_budget_trim)."""
+    from lumbermill_spark.training import sampling
+
+    docs = _t(spark, sf, "documents")
+    kept = sampling.token_budget_trim(docs, budget=50_000,
+                                      strata_col="source",
+                                      tokens_col="n_chars")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("sum_chars"))
+
+
+def _oracle_budget_trim() -> str:
+    return r"""
+    WITH h AS (
+      SELECT source, doc_id, n_chars,
+        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':budget'),
+                            1, 15) AS BIGINT) AS hv
+      FROM documents
+    ), c AS (
+      SELECT source, n_chars,
+        sum(n_chars) OVER (PARTITION BY source ORDER BY hv, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+      FROM h)
+    SELECT source, count(*) AS n_kept,
+      CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM c WHERE cum <= 50000 GROUP BY source
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_simple_stats": _q01_simple_stats,
@@ -3129,6 +3164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_dedup_keep_best": _q98_dedup_keep_best,
         "q99_active_users": _q99_active_users,
         "q100_star_join": _q100_star_join,
+        "q101_budget_trim": _q101_budget_trim,
     }
 
 
@@ -3803,6 +3839,7 @@ def oracle_sql() -> dict[str, str]:
         "q98_dedup_keep_best": _oracle_dedup_keep_best(),
         "q99_active_users": _oracle_active_users(),
         "q100_star_join": _oracle_star_join(),
+        "q101_budget_trim": _oracle_budget_trim(),
         "q52_repetition": r"""
             WITH b AS (
               SELECT doc_id,

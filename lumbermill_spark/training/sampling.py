@@ -114,3 +114,35 @@ def stratified_sample(
         .filter(md5_hash60(key) < F.col(rate_col) * F.lit(TWO_POW_60))
         .select(*[F.col(c) for c in df.columns])
     )
+
+
+def token_budget_trim(
+    df: DataFrame,
+    budget: int,
+    strata_col: str = "source",
+    tokens_col: str = "n_tok",
+    id_col: str = "doc_id",
+    salt: str = "budget",
+) -> DataFrame:
+    """Deterministic budget-constrained selection: per stratum, keep
+    documents in md5-hash order until the cumulative ``tokens_col``
+    would exceed ``budget`` ("give me <=1B tokens per source,
+    reproducibly"). A document that would push past the budget is
+    dropped — totals never exceed the budget; the kept set is identical
+    across reruns/resumes and changes only with ``salt``.
+
+    Plan: one window shuffle per stratum (hash-order cumsum). Exact
+    budgeting is inherently a per-stratum ordered scan, so a single
+    giant stratum serializes in one task — for that shape use
+    :func:`mix_rates` + :func:`stratified_sample` (rate =
+    budget/total, approximate but shuffle-free) instead.
+    """
+    from pyspark.sql import Window
+
+    key = F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt))
+    w = (Window.partitionBy(strata_col)
+         .orderBy(md5_hash60(key), F.col(id_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (df.withColumn("_cum", F.sum(tokens_col).over(w))
+            .where(F.col("_cum") <= budget)
+            .drop("_cum"))

@@ -931,3 +931,30 @@ def test_dedup_keep_best(spark):
     kept2 = [r.doc_id for r in
              dedup.dedup_keep_best(docs2, pairs2, "n_chars").collect()]
     assert kept2 == [7]
+
+
+def test_token_budget_trim(spark):
+    from lumbermill_spark.training import sampling
+
+    docs = spark.createDataFrame(
+        [(i, "s", 40) for i in range(10)] + [(100, "t", 500)],
+        "doc_id long, source string, n_tok long")
+    kept = sampling.token_budget_trim(docs, budget=100,
+                                      tokens_col="n_tok")
+    by_src = {}
+    for r in kept.collect():
+        by_src.setdefault(r.source, []).append(r.doc_id)
+    # budget 100 / 40-token docs -> exactly 2 kept, deterministically
+    assert len(by_src["s"]) == 2
+    # a stratum whose first doc already exceeds the budget keeps nothing
+    assert "t" not in by_src
+
+    # reproducible: same salt -> same kept set; new salt -> (possibly)
+    # different but still exactly 2
+    again = sampling.token_budget_trim(docs, budget=100,
+                                       tokens_col="n_tok")
+    assert sorted(r.doc_id for r in again.collect()
+                  if r.source == "s") == sorted(by_src["s"])
+    other = sampling.token_budget_trim(docs, budget=100,
+                                       tokens_col="n_tok", salt="other")
+    assert len([r for r in other.collect() if r.source == "s"]) == 2
