@@ -3062,6 +3062,46 @@ def _oracle_budget_trim() -> str:
     """
 
 
+def _q102_unigram_drift(spark, sf):
+    """Corpus drift: per-term smoothed KL contribution between the
+    even- and odd-doc_id halves of the documents table — the
+    distribution-shift monitor a curation pipeline runs between crawl
+    batches. One scan, conditional sums in one term aggregation
+    (textstats.unigram_drift)."""
+    docs = _t(spark, sf, "documents")
+    return textstats.unigram_drift(
+        docs, split=F.pmod(F.col("doc_id"), F.lit(2)), top_k=10)
+
+
+def _oracle_unigram_drift() -> str:
+    return r"""
+    WITH t AS (
+      SELECT doc_id % 2 AS s, lower(w) AS term FROM (
+        SELECT doc_id,
+          unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents) WHERE w <> ''
+    ), c AS (
+      SELECT term,
+        count(*) FILTER (s = 0) AS n_a,
+        count(*) FILTER (s = 1) AS n_b
+      FROM t GROUP BY term
+    ), tot AS (
+      SELECT sum(n_a) AS na, sum(n_b) AS nb, count(*) AS v FROM c
+    ), sc AS (
+      SELECT term, n_a, n_b,
+        round(((n_a + 1.0) / (na + v))
+              * ln(((n_a + 1.0) / (na + v))
+                   / ((n_b + 1.0) / (nb + v))), 6) AS kl_term
+      FROM c, tot
+    ), r AS (
+      SELECT *, row_number() OVER (ORDER BY kl_term DESC, term) AS rank
+      FROM sc)
+    SELECT term, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      kl_term, CAST(rank AS INTEGER) AS rank
+    FROM r WHERE rank <= 10
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_simple_stats": _q01_simple_stats,
@@ -3165,6 +3205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q99_active_users": _q99_active_users,
         "q100_star_join": _q100_star_join,
         "q101_budget_trim": _q101_budget_trim,
+        "q102_unigram_drift": _q102_unigram_drift,
     }
 
 
@@ -3840,6 +3881,7 @@ def oracle_sql() -> dict[str, str]:
         "q99_active_users": _oracle_active_users(),
         "q100_star_join": _oracle_star_join(),
         "q101_budget_trim": _oracle_budget_trim(),
+        "q102_unigram_drift": _oracle_unigram_drift(),
         "q52_repetition": r"""
             WITH b AS (
               SELECT doc_id,

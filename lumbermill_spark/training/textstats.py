@@ -535,3 +535,43 @@ def tf_idf_top_terms(df: DataFrame, k: int = 3,
             .select(id_col, "term", F.col("tf").cast("bigint").alias("tf"),
                     F.col("dfreq").cast("bigint").alias("dfreq"),
                     "score", "rank"))
+
+
+def unigram_drift(df: DataFrame, split: Column,
+                  text_col: str = "text", top_k: int = 10) -> DataFrame:
+    """Corpus drift detection: smoothed unigram KL contribution per
+    term between two halves of a corpus (old/new crawl, train/incoming
+    batch). ``split`` is any boolean-ish 0/1 Column; contribution =
+    p_a * ln(p_a / p_b) with add-one smoothing over the joint vocab, so
+    terms that grew or vanished rank first and an unseen term never
+    divides by zero.
+
+    Plan: ONE scan — both halves' counts come from conditional sums in
+    the same term-keyed aggregation (no per-split re-scan, no join of
+    two count tables); totals + vocab size are a 1-row broadcast over
+    the counts frame. Scores rank ROUNDED (engine-replayable, same
+    exposure as tf-idf/surprisal above) with a term tiebreak.
+
+    Output: (term, n_a, n_b, kl_term, rank), top_k rows.
+    """
+    terms = (df.select(split.cast("int").alias("s"),
+                       F.explode(words(F.col(text_col))).alias("w"))
+             .where(F.col("w") != "")
+             .select("s", F.lower("w").alias("term")))
+    counts = terms.groupBy("term").agg(
+        F.sum(F.when(F.col("s") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).alias("n_b"))
+    totals = counts.agg(F.sum("n_a").alias("na"),
+                        F.sum("n_b").alias("nb"),
+                        F.count(F.lit(1)).alias("v"))
+    p_a = (F.col("n_a") + F.lit(1.0)) / (F.col("na") + F.col("v"))
+    p_b = (F.col("n_b") + F.lit(1.0)) / (F.col("nb") + F.col("v"))
+    scored = (counts.crossJoin(F.broadcast(totals))
+              .withColumn("kl_term", F.round(p_a * F.log(p_a / p_b), 6)))
+    w = Window.orderBy(F.col("kl_term").desc(), F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= top_k)
+            .select("term",
+                    F.col("n_a").cast("bigint").alias("n_a"),
+                    F.col("n_b").cast("bigint").alias("n_b"),
+                    "kl_term", "rank"))

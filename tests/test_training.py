@@ -958,3 +958,25 @@ def test_token_budget_trim(spark):
     other = sampling.token_budget_trim(docs, budget=100,
                                        tokens_col="n_tok", salt="other")
     assert len([r for r in other.collect() if r.source == "s"]) == 2
+
+
+def test_unigram_drift(spark):
+    from pyspark.sql import functions as F
+
+    from lumbermill_spark.training.textstats import unigram_drift
+
+    docs = spark.createDataFrame(
+        [(0, "apple apple apple common"), (2, "apple common"),
+         (1, "banana common"), (3, "banana banana common")],
+        "doc_id long, text string")
+    out = unigram_drift(docs, split=F.pmod(F.col("doc_id"), F.lit(2)),
+                        top_k=3).collect()
+    ranked = [r.term for r in out]
+    # 'apple' dominates half A and is rare in B -> largest positive KL;
+    # 'common' is balanced -> near zero; 'banana' shrank -> negative.
+    assert ranked[0] == "apple"
+    by_term = {r.term: r for r in out}
+    assert by_term["apple"].n_a == 4 and by_term["apple"].n_b == 0
+    assert by_term["apple"].kl_term > 0
+    if "banana" in by_term:
+        assert by_term["banana"].kl_term < 0
