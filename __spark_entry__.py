@@ -3102,6 +3102,53 @@ def _oracle_unigram_drift() -> str:
     """
 
 
+def _q103_pmi_pairs(spark, sf):
+    """Document-level PMI co-occurrence over the documents table:
+    pairs generated only within the top-30 vocab (pure JVM indexed
+    array transform per doc — no self-join, bounded V^2), doc
+    frequencies and pair counts off one corpus scan
+    (textstats.pmi_pairs)."""
+    docs = _t(spark, sf, "documents")
+    return textstats.pmi_pairs(docs, vocab_size=30, min_pair_docs=5,
+                               top_k=15)
+
+
+def _oracle_pmi_pairs() -> str:
+    return r"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id AS d, lower(w) AS term FROM (
+        SELECT doc_id,
+          unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents) WHERE w <> ''
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM dt GROUP BY term
+    ), vocab AS (
+      SELECT term, df FROM (
+        SELECT term, df,
+          row_number() OVER (ORDER BY df DESC, term) AS r
+        FROM dfreq) WHERE r <= 30
+    ), n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    iv AS (SELECT dt.d, dt.term FROM dt JOIN vocab USING (term)),
+    pairs AS (
+      SELECT x.term AS a, y.term AS b, count(*) AS n_pair
+      FROM iv x JOIN iv y ON x.d = y.d AND x.term < y.term
+      GROUP BY 1, 2 HAVING count(*) >= 5
+    ), sc AS (
+      SELECT p.a, p.b, p.n_pair,
+        round(ln(CAST(p.n_pair * n.n AS DOUBLE) / (va.df * vb.df)), 4)
+          AS pmi
+      FROM pairs p
+        JOIN vocab va ON va.term = p.a
+        JOIN vocab vb ON vb.term = p.b, n
+    ), r AS (
+      SELECT *, row_number() OVER (ORDER BY pmi DESC, a, b) AS rank
+      FROM sc)
+    SELECT a AS term_a, b AS term_b, CAST(n_pair AS BIGINT) AS n_pair,
+      pmi, CAST(rank AS INTEGER) AS rank
+    FROM r WHERE rank <= 15
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_simple_stats": _q01_simple_stats,
@@ -3206,6 +3253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q100_star_join": _q100_star_join,
         "q101_budget_trim": _q101_budget_trim,
         "q102_unigram_drift": _q102_unigram_drift,
+        "q103_pmi_pairs": _q103_pmi_pairs,
     }
 
 
@@ -3882,6 +3930,7 @@ def oracle_sql() -> dict[str, str]:
         "q100_star_join": _oracle_star_join(),
         "q101_budget_trim": _oracle_budget_trim(),
         "q102_unigram_drift": _oracle_unigram_drift(),
+        "q103_pmi_pairs": _oracle_pmi_pairs(),
         "q52_repetition": r"""
             WITH b AS (
               SELECT doc_id,

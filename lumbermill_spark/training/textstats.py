@@ -575,3 +575,64 @@ def unigram_drift(df: DataFrame, split: Column,
                     F.col("n_a").cast("bigint").alias("n_a"),
                     F.col("n_b").cast("bigint").alias("n_b"),
                     "kl_term", "rank"))
+
+
+def pmi_pairs(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id", vocab_size: int = 30,
+              min_pair_docs: int = 5, top_k: int = 15) -> DataFrame:
+    """Document-level PMI co-occurrence (word2vec-era corpus statistic:
+    which term pairs appear in the same documents far more than chance).
+    ``pmi(x,y) = ln(df_xy * N / (df_x * df_y))`` over DOCUMENT
+    frequencies.
+
+    Scale containment: naive co-occurrence is quadratic in document
+    length; here pairs are generated only WITHIN the top
+    ``vocab_size`` terms, so a document contributes at most V(V-1)/2
+    pairs regardless of its length. Pair generation is a pure JVM
+    array expression (indexed transform over each doc's sorted
+    vocab-term set — no self-join, no Python), the vocab is a V-row
+    broadcast, and every aggregation is partial-agg friendly. One
+    corpus scan feeds doc frequencies AND pair counts.
+
+    Output: (term_a, term_b, n_pair, pmi, rank), top_k rows ranked by
+    rounded PMI (ties: pair lexicographic); pairs seen in fewer than
+    ``min_pair_docs`` documents are dropped as noise.
+    """
+    dt = (df.select(F.col(id_col).alias("d"),
+                    F.explode(words(F.col(text_col))).alias("w"))
+          .where(F.col("w") != "")
+          .select("d", F.lower("w").alias("term"))
+          .distinct())
+    dfreq = dt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    vw = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    vocab = (dfreq.withColumn("_r", F.row_number().over(vw))
+             .where(F.col("_r") <= vocab_size).select("term", "df"))
+    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("n"))
+
+    in_vocab = dt.join(F.broadcast(vocab.select("term")), on="term")
+    per_doc = in_vocab.groupBy("d").agg(
+        F.sort_array(F.collect_set("term")).alias("ts"))
+    arr = F.col("ts")
+    pair_gen = F.flatten(F.transform(
+        arr, lambda x, i: F.transform(
+            F.slice(arr, i + 2, F.size(arr)),
+            lambda y: F.struct(x.alias("a"), y.alias("b")))))
+    pairs = (per_doc.select(F.explode(pair_gen).alias("p"))
+             .groupBy("p.a", "p.b").agg(F.count(F.lit(1)).alias("n_pair"))
+             .where(F.col("n_pair") >= min_pair_docs))
+
+    va = vocab.select(F.col("term").alias("a"), F.col("df").alias("df_a"))
+    vb = vocab.select(F.col("term").alias("b"), F.col("df").alias("df_b"))
+    scored = (pairs.join(F.broadcast(va), on="a")
+              .join(F.broadcast(vb), on="b")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn("pmi", F.round(F.log(
+                  (F.col("n_pair") * F.col("n")).cast("double")
+                  / (F.col("df_a") * F.col("df_b"))), 4)))
+    rw = Window.orderBy(F.col("pmi").desc(), F.col("a").asc(),
+                        F.col("b").asc())
+    return (scored.withColumn("rank", F.row_number().over(rw).cast("int"))
+            .where(F.col("rank") <= top_k)
+            .select(F.col("a").alias("term_a"), F.col("b").alias("term_b"),
+                    F.col("n_pair").cast("bigint").alias("n_pair"),
+                    "pmi", "rank"))

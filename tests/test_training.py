@@ -980,3 +980,24 @@ def test_unigram_drift(spark):
     assert by_term["apple"].kl_term > 0
     if "banana" in by_term:
         assert by_term["banana"].kl_term < 0
+
+
+def test_pmi_pairs(spark):
+    from lumbermill_spark.training.textstats import pmi_pairs
+
+    # 'x' and 'y' always co-occur (6 docs); 'z' co-occurs with them in
+    # only 2; filler terms pad the vocab
+    rows = []
+    for i in range(6):
+        rows.append((i, "x y " + ("z" if i < 2 else "w")))
+    for i in range(6, 12):
+        rows.append((i, "p q"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pmi_pairs(docs, vocab_size=10, min_pair_docs=2, top_k=5)
+    got = {(r.term_a, r.term_b): (r.n_pair, r.pmi) for r in out.collect()}
+    import math
+    # df_x = df_y = 6, n_pair = 6, N = 12 -> pmi = ln(6*12/36) = ln 2
+    assert got[("x", "y")][0] == 6
+    assert abs(got[("x", "y")][1] - round(math.log(2), 4)) < 1e-9
+    # pairs below min_pair_docs are dropped: (w,z) never co-occur
+    assert ("w", "z") not in got
