@@ -284,3 +284,70 @@ def test_sessionize_gap_matches_bruteforce(spark, times, gap):
         expect[t] = sid  # duplicates land in the same session
     for r in out:
         assert r.session_id == expect[r.t], (r.t, gap, ordered)
+
+
+# --- rolling mean vs pandas ------------------------------------------
+
+@given(st.lists(st.integers(min_value=-1000, max_value=1000),
+                min_size=1, max_size=25),
+       st.integers(min_value=1, max_value=8))
+@SET
+def test_rolling_agg_matches_pandas(spark, values, n):
+    import pandas as pd
+
+    from lumbermill_spark.operators.stats import rolling_agg
+
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(values)],
+        "g string, seq int, v long")
+    out = {r.seq: (r.roll_sum, r.roll_n, r.roll_avg)
+           for r in rolling_agg(df, key="g", order_by=["seq"],
+                                value_field="v", n=n).collect()}
+    s = pd.Series(values)
+    sums = s.rolling(n, min_periods=1).sum()
+    cnts = s.rolling(n, min_periods=1).count()
+    for i in range(len(values)):
+        assert out[i][0] == int(sums[i])
+        assert out[i][1] == int(cnts[i])
+        assert out[i][2] == round(sums[i] / cnts[i], 4)
+
+
+# --- token budget trim invariants ------------------------------------
+
+@given(st.lists(st.tuples(st.sampled_from(["s1", "s2"]),
+                          st.integers(min_value=1, max_value=50)),
+                min_size=1, max_size=25),
+       st.integers(min_value=1, max_value=120))
+@SET
+def test_token_budget_trim_invariants(spark, rows, budget):
+    """Per-stratum totals never exceed the budget; the kept set is
+    exactly the hash-order greedy prefix (drop-on-overflow)."""
+    import hashlib
+
+    from lumbermill_spark.training import sampling
+
+    df = spark.createDataFrame(
+        [(i, s, t) for i, (s, t) in enumerate(rows)],
+        "doc_id long, source string, n_tok long")
+    kept = sampling.token_budget_trim(df, budget=budget,
+                                      tokens_col="n_tok")
+    got = {}
+    for r in kept.collect():
+        got.setdefault(r.source, set()).add(r.doc_id)
+
+    def h60(i):
+        return int(hashlib.md5(f"{i}:budget".encode()).hexdigest()[:15], 16)
+
+    for src in {s for s, _ in rows}:
+        members = sorted(((h60(i), i, t) for i, (s, t) in enumerate(rows)
+                          if s == src))
+        cum, expect = 0, set()
+        for _, i, t in members:
+            cum += t
+            if cum <= budget:
+                expect.add(i)
+            else:
+                break  # keep-while-prefix: first overflow stops the scan
+        assert got.get(src, set()) == expect, (src, budget)
+        assert sum(t for i, (s, t) in enumerate(rows)
+                   if s == src and i in expect) <= budget
