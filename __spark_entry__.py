@@ -3149,6 +3149,67 @@ def _oracle_pmi_pairs() -> str:
     """
 
 
+def _q104_upsert_latest(spark, sf):
+    """SCD-1 merge compaction: base = even events, incoming batch =
+    odd events re-keyed onto even ids with bumped value (so half the
+    keys get updated, half of the batch inserts new keys). Keep the
+    highest event-time row per key — one union + one max_by, no join,
+    no window sort (stateful.upsert_latest). Output: per-type counts +
+    how many rows came from the update batch."""
+    ev = _t(spark, sf, "events").select(
+        "event_id", "event_type", F.unix_timestamp("ts").alias("es"),
+        F.floor("value").cast("long").alias("fv"))
+    base = ev.where(F.pmod(F.col("event_id"), F.lit(2)) == 0)
+    # batch: ids ==1 (mod 4) update their even sibling; ids ==3 (mod 4)
+    # insert brand-new keys above the id space
+    updates = (ev.where(F.pmod(F.col("event_id"), F.lit(2)) == 1)
+               .select(F.when(F.pmod(F.col("event_id"), F.lit(4)) == 1,
+                              F.col("event_id") - 1)
+                        .otherwise(F.col("event_id") + 1000000)
+                        .alias("event_id"),
+                       "event_type",
+                       (F.col("es") + 1).alias("es"),
+                       (F.col("fv") + 1000).alias("fv")))
+    merged = stateful.upsert_latest(base, updates, key="event_id",
+                                    version="es")
+    return merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("fv") >= 1000, 1).otherwise(0))
+         .cast("bigint").alias("n_updated"),
+        F.sum("fv").alias("sum_fv"))
+
+
+def _oracle_upsert_latest() -> str:
+    return r"""
+    WITH ev AS (
+      SELECT event_id, event_type,
+        CAST(floor(epoch(ts)) AS BIGINT) AS es,
+        CAST(floor(value) AS BIGINT) AS fv
+      FROM events
+    ), base AS (
+      SELECT event_id, event_type, es, fv, 0 AS upd
+      FROM ev WHERE event_id % 2 = 0
+    ), upd AS (
+      SELECT CASE WHEN event_id % 4 = 1 THEN event_id - 1
+                  ELSE event_id + 1000000 END AS event_id,
+        event_type, es + 1 AS es, fv + 1000 AS fv, 1 AS upd
+      FROM ev WHERE event_id % 2 = 1
+    ), allr AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+    won AS (
+      -- (es, upd) ordering as one scalar: update wins at equal es
+      SELECT event_id,
+        arg_max(event_type, es * 2 + upd) AS event_type,
+        arg_max(es, es * 2 + upd) AS es,
+        arg_max(fv, es * 2 + upd) AS fv
+      FROM allr GROUP BY event_id)
+    SELECT event_type, count(*) AS n_rows,
+      CAST(sum(CASE WHEN fv >= 1000 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_updated,
+      sum(fv) AS sum_fv
+    FROM won GROUP BY event_type
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_simple_stats": _q01_simple_stats,
@@ -3254,6 +3315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q101_budget_trim": _q101_budget_trim,
         "q102_unigram_drift": _q102_unigram_drift,
         "q103_pmi_pairs": _q103_pmi_pairs,
+        "q104_upsert_latest": _q104_upsert_latest,
     }
 
 
@@ -3931,6 +3993,7 @@ def oracle_sql() -> dict[str, str]:
         "q101_budget_trim": _oracle_budget_trim(),
         "q102_unigram_drift": _oracle_unigram_drift(),
         "q103_pmi_pairs": _oracle_pmi_pairs(),
+        "q104_upsert_latest": _oracle_upsert_latest(),
         "q52_repetition": r"""
             WITH b AS (
               SELECT doc_id,

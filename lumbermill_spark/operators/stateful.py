@@ -152,3 +152,38 @@ def permutate(
     if drop_source:
         out = out.drop(source_field)
     return out
+
+
+def upsert_latest(
+    base: DataFrame,
+    updates: DataFrame,
+    key: str | list[str],
+    version: str,
+) -> DataFrame:
+    """SCD-1 merge (the Iceberg ``MERGE INTO`` analog in pure
+    DataFrame ops): union the incoming batch onto the base table and
+    keep, per key, the row with the highest ``version`` (update wins at
+    equal version — the batch is newer information). Insert-only keys
+    pass through; deletes are an upstream filter.
+
+    Plan: one union + one partial-aggregated max_by on the key — no
+    join, no window sort; the shuffle carries one candidate row per
+    (key, input partition) after map-side combine. At table scale this
+    is the compaction pass a log pipeline runs per ingest cycle.
+
+    Ties: ``max_by`` on the struct (version, is_update) makes the
+    update side win deterministically at equal version.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    cols = base.columns
+    if set(cols) != set(updates.columns):
+        raise ValueError("base and updates must share a schema")
+    b = base.select(*cols).withColumn("_upd", F.lit(0))
+    u = updates.select(*cols).withColumn("_upd", F.lit(1))
+    allr = b.unionByName(u)
+    payload = F.struct(*[F.col(c) for c in cols])
+    won = (allr.groupBy(*keys)
+           .agg(F.max_by(payload,
+                         F.struct(F.col(version), F.col("_upd")))
+                .alias("_row")))
+    return won.select(*[F.col("_row")[c].alias(c) for c in cols])

@@ -193,3 +193,28 @@ def test_enrich_computed_runs_once_per_distinct(spark):
     out = lookup.enrich_computed(ev, "host", compute)
     assert out.count() == 100
     assert out.filter(F.col("resolved") == "a.com!").count() == 50
+
+
+def test_upsert_latest(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from lumbermill_spark.operators.stateful import upsert_latest
+
+    base = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b"), (3, 10, "c")],
+        "k long, v long, payload string")
+    updates = spark.createDataFrame(
+        [(1, 20, "a2"),     # newer -> replaces
+         (2, 5, "b-old"),   # older -> ignored
+         (3, 10, "c2"),     # equal version -> update wins
+         (4, 1, "d")],      # new key -> inserted
+        "k long, v long, payload string")
+    out = {r.k: (r.v, r.payload)
+           for r in upsert_latest(base, updates, key="k",
+                                  version="v").collect()}
+    assert out == {1: (20, "a2"), 2: (10, "b"),
+                   3: (10, "c2"), 4: (1, "d")}
+
+    with _pytest.raises(ValueError):
+        upsert_latest(base, updates.drop("payload"), key="k", version="v")
