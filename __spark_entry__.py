@@ -3210,6 +3210,65 @@ def _oracle_upsert_latest() -> str:
     """
 
 
+def _q105_snapshot_diff(spark, sf):
+    """CDC snapshot diff: 'new' is the events table after a simulated
+    backfill (every 5th row's value bumped, every 7th row dropped, 500
+    synthetic rows appended). One full outer join on the key, null-safe
+    struct comparison (stateful.snapshot_diff). Output: status counts +
+    value sums per status."""
+    ev = _t(spark, sf, "events").select(
+        "event_id", "event_type",
+        F.floor("value").cast("long").alias("fv"))
+    old = ev
+    new = (ev.where(F.pmod(F.col("event_id"), F.lit(7)) != 0)
+           .select("event_id", "event_type",
+                   F.when(F.pmod(F.col("event_id"), F.lit(5)) == 0,
+                          F.col("fv") + 1).otherwise(F.col("fv"))
+                    .alias("fv"))
+           .unionByName(
+               _t(spark, sf, "events").select(
+                   (F.col("event_id") + 1000000).alias("event_id"),
+                   "event_type",
+                   F.floor("value").cast("long").alias("fv"))
+               .where(F.pmod(F.col("event_id"), F.lit(20)) == 1)))
+    d = stateful.snapshot_diff(old, new, key="event_id")
+    return d.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_new")["fv"]).alias("sum_new_fv"))
+
+
+def _oracle_snapshot_diff() -> str:
+    return r"""
+    WITH ev AS (
+      SELECT event_id, event_type, CAST(floor(value) AS BIGINT) AS fv
+      FROM events
+    ), new AS (
+      SELECT event_id, event_type,
+        CASE WHEN event_id % 5 = 0 THEN fv + 1 ELSE fv END AS fv
+      FROM ev WHERE event_id % 7 <> 0
+      UNION ALL
+      SELECT event_id + 1000000, event_type, fv
+      FROM ev WHERE (event_id + 1000000) % 20 = 1
+    ), j AS (
+      SELECT coalesce(o.event_id, n.event_id) AS event_id,
+        o.event_id IS NULL AS is_added,
+        n.event_id IS NULL AS is_removed,
+        o.event_type AS ot, o.fv AS ofv,
+        n.event_type AS nt, n.fv AS nfv
+      FROM ev o FULL OUTER JOIN new n ON o.event_id = n.event_id
+    ), st AS (
+      SELECT CASE WHEN is_added THEN 'added'
+                  WHEN is_removed THEN 'removed'
+                  WHEN ot IS NOT DISTINCT FROM nt
+                   AND ofv IS NOT DISTINCT FROM nfv THEN 'unchanged'
+                  ELSE 'changed' END AS status,
+        nfv
+      FROM j)
+    SELECT status, count(*) AS n, sum(nfv) AS sum_new_fv
+    FROM st GROUP BY status
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_simple_stats": _q01_simple_stats,
@@ -3316,6 +3375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_unigram_drift": _q102_unigram_drift,
         "q103_pmi_pairs": _q103_pmi_pairs,
         "q104_upsert_latest": _q104_upsert_latest,
+        "q105_snapshot_diff": _q105_snapshot_diff,
     }
 
 
@@ -3994,6 +4054,7 @@ def oracle_sql() -> dict[str, str]:
         "q102_unigram_drift": _oracle_unigram_drift(),
         "q103_pmi_pairs": _oracle_pmi_pairs(),
         "q104_upsert_latest": _oracle_upsert_latest(),
+        "q105_snapshot_diff": _oracle_snapshot_diff(),
         "q52_repetition": r"""
             WITH b AS (
               SELECT doc_id,

@@ -187,3 +187,35 @@ def upsert_latest(
                          F.struct(F.col(version), F.col("_upd")))
                 .alias("_row")))
     return won.select(*[F.col("_row")[c].alias(c) for c in cols])
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str | list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change-data-capture diff between two snapshots of a table:
+    one row per key with status ``added`` / ``removed`` / ``changed``
+    / ``unchanged`` (the regression check a pipeline runs after a
+    re-ingest, code change, or backfill — 'what did this deploy do to
+    the output table?').
+
+    Plan: ONE full outer join on the key; row equality is a struct
+    comparison of ``compare_cols`` (default: all non-key columns both
+    sides share), evaluated null-safely (``eqNullSafe`` — a null field
+    equals null, so nullable columns don't all report changed).
+    Output: key columns + status + the new side's compare struct
+    (null for removed rows).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    cols = compare_cols or [c for c in old.columns
+                            if c not in keys and c in new.columns]
+    o = old.select(*keys, F.struct(*cols).alias("_old"))
+    n = new.select(*keys, F.struct(*cols).alias("_new"))
+    j = o.join(n, on=keys, how="full_outer")
+    status = (F.when(F.col("_old").isNull(), "added")
+              .when(F.col("_new").isNull(), "removed")
+              .when(F.col("_old").eqNullSafe(F.col("_new")), "unchanged")
+              .otherwise("changed"))
+    return j.select(*keys, status.alias("status"), F.col("_new"))

@@ -218,3 +218,20 @@ def test_upsert_latest(spark):
 
     with _pytest.raises(ValueError):
         upsert_latest(base, updates.drop("payload"), key="k", version="v")
+
+
+def test_snapshot_diff(spark):
+    from lumbermill_spark.operators.stateful import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, "c", 30), (4, "d", 40)],
+        "k long, s string, v int")
+    new = spark.createDataFrame(
+        [(1, "a", 10),      # unchanged
+         (2, "b", None),    # unchanged — null == null (eqNullSafe)
+         (3, "c", 31),      # changed
+         (5, "e", 50)],     # added; 4 removed
+        "k long, s string, v int")
+    got = {r.k: r.status for r in snapshot_diff(old, new, key="k").collect()}
+    assert got == {1: "unchanged", 2: "unchanged", 3: "changed",
+                   4: "removed", 5: "added"}
