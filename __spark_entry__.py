@@ -3269,6 +3269,42 @@ def _oracle_snapshot_diff() -> str:
     """
 
 
+def _q106_fuzzy_prefix(spark, sf):
+    """Edit-distance near-dup candidates over 20-char document
+    prefixes (levenshtein <= 2): length-band multi-probe blocking with
+    guaranteed length recall, capped degenerate bands, JVM-side
+    levenshtein verify (dedup.fuzzy_prefix_pairs). Output: per-distance
+    pair counts (pairs themselves are order-insensitive but large)."""
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.fuzzy_prefix_pairs(docs, prefix_len=20, max_dist=2)
+    return pairs.groupBy("dist").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("id_a") + F.col("id_b")).alias("id_sum"))
+
+
+def _oracle_fuzzy_prefix() -> str:
+    return r"""
+    WITH p AS (
+      SELECT doc_id AS id, substr(text, 1, 20) AS p,
+        CAST(floor(length(substr(text, 1, 20)) / 3.0) AS BIGINT) AS band
+      FROM documents
+      WHERE text IS NOT NULL AND substr(text, 1, 20) <> ''
+    ), sized AS (
+      SELECT *, count(*) OVER (PARTITION BY band) AS bn FROM p
+    ), capped AS (SELECT id, p, band FROM sized WHERE bn <= 1000),
+    probe AS (
+      SELECT id, p, band + k AS band
+      FROM capped, unnest([-1, 0, 1]) AS t(k)
+    ), cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        levenshtein(a.p, b.p) AS dist
+      FROM probe a JOIN capped b ON a.band = b.band AND a.id < b.id)
+    SELECT CAST(dist AS INTEGER) AS dist, count(*) AS n_pairs,
+      sum(id_a + id_b) AS id_sum
+    FROM cand WHERE dist <= 2 GROUP BY dist
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_simple_stats": _q01_simple_stats,
@@ -3376,6 +3412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q103_pmi_pairs": _q103_pmi_pairs,
         "q104_upsert_latest": _q104_upsert_latest,
         "q105_snapshot_diff": _q105_snapshot_diff,
+        "q106_fuzzy_prefix": _q106_fuzzy_prefix,
     }
 
 
@@ -4055,6 +4092,7 @@ def oracle_sql() -> dict[str, str]:
         "q103_pmi_pairs": _oracle_pmi_pairs(),
         "q104_upsert_latest": _oracle_upsert_latest(),
         "q105_snapshot_diff": _oracle_snapshot_diff(),
+        "q106_fuzzy_prefix": _oracle_fuzzy_prefix(),
         "q52_repetition": r"""
             WITH b AS (
               SELECT doc_id,

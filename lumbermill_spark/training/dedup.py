@@ -993,3 +993,56 @@ def line_dedup(
         F.col("text_clean"),
         F.round(retained.cast("double") / F.col("n_lines"),
                 round_to).alias("retained_frac"))
+
+
+def fuzzy_prefix_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int = 20,
+    max_dist: int = 2,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Edit-distance near-dup candidates over document PREFIXES:
+    pairs whose first ``prefix_len`` characters are within levenshtein
+    ``max_dist`` — catches the copy-with-a-typo'd-header duplicates
+    that shingle/minhash families only score fractionally.
+
+    Blocking with guaranteed length recall: two strings within edit
+    distance k differ in length by <= k, and with band width (k+1)
+    their length bands differ by <= 1 — so one side probes its own
+    band plus both neighbors (a 3x multi-probe explode, same shape as
+    the SRP multi-probe in similarity.py), the join is a band equi-join
+    and NOTHING else is compared. Degenerate bands (every doc the same
+    length — a fixed-width corpus) are capped at ``max_bucket``
+    candidates per band like minhash_lsh_pairs; the cap is a
+    completeness tradeoff, not a correctness one, and is logged by the
+    caller's contract. levenshtein() verifies candidates JVM-side.
+
+    Output: (id_a, id_b, dist) with id_a < id_b.
+    """
+    from pyspark.sql import Window
+
+    w = max_dist + 1
+    p = F.substring(F.col(text_col), 1, prefix_len)
+    base = (df.select(F.col(id_col).alias("id"), p.alias("p"))
+            .where(F.col("p").isNotNull() & (F.col("p") != ""))
+            .withColumn("band", F.floor(F.length("p") / w).cast("long")))
+    # cap degenerate bands before the join (same guard as minhash)
+    sized = base.withColumn(
+        "_bn", F.count(F.lit(1)).over(Window.partitionBy("band")))
+    capped = sized.where(F.col("_bn") <= max_bucket).drop("_bn")
+    probe = capped.select(
+        "id", "p",
+        F.explode(F.array(F.col("band") - 1, F.col("band"),
+                          F.col("band") + 1)).alias("band"))
+    a = probe.select(F.col("id").alias("id_a"), F.col("p").alias("pa"),
+                     "band")
+    b = capped.select(F.col("id").alias("id_b"), F.col("p").alias("pb"),
+                      "band")
+    return (a.join(b, on="band")
+            .where(F.col("id_a") < F.col("id_b"))
+            .withColumn("dist", F.levenshtein("pa", "pb"))
+            .where(F.col("dist") <= max_dist)
+            .select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
+            .distinct())

@@ -1001,3 +1001,31 @@ def test_pmi_pairs(spark):
     assert abs(got[("x", "y")][1] - round(math.log(2), 4)) < 1e-9
     # pairs below min_pair_docs are dropped: (w,z) never co-occur
     assert ("w", "z") not in got
+
+
+def test_fuzzy_prefix_pairs(spark):
+    from lumbermill_spark.training import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"),
+         (2, "the quick brown fox leaps"),     # same 20-prefix: dist 0
+         (3, "the quick brwn fox jumps"),      # deletion shifts the
+         #    20-char window, pulling 'j' in: distance 2, not 1
+         (4, "the quick brown fo"),            # 2 chars shorter: 2
+         (5, "completely different text")],
+        "doc_id long, text string")
+    out = {(r.id_a, r.id_b): r.dist
+           for r in dedup.fuzzy_prefix_pairs(
+               docs, prefix_len=20, max_dist=2).collect()}
+    assert out[(1, 2)] == 0
+    assert out[(1, 3)] == 2
+    assert out[(1, 4)] == 2
+    assert (1, 5) not in out and (2, 5) not in out
+
+    # length recall guarantee: lengths differing by <= max_dist always
+    # meet, even across a band boundary
+    edge = spark.createDataFrame(
+        [(10, "abcdef"), (11, "abcde")], "doc_id long, text string")
+    got = dedup.fuzzy_prefix_pairs(edge, prefix_len=20,
+                                   max_dist=1).collect()
+    assert [(r.id_a, r.id_b, r.dist) for r in got] == [(10, 11, 1)]
