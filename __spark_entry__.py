@@ -2720,7 +2720,10 @@ def _q92_rolling_avg(spark, sf):
     """Trailing 7-row rolling mean per event_type (telemetry
     smoothing). The order is TOTAL (es, then event_id) so the row frame
     is tie-independent; integer floor(value) sums + one exact double
-    division keep the float engine-identical."""
+    division keep the float engine-identical. Scale note: event_type is
+    a 5-value demo key — at corpus scale partition the window on a
+    high-cardinality key (device, source host) or a (key, day) compound
+    so no task owns a whole type's timeline."""
     ev = _t(spark, sf, "events").select(
         "event_id", "event_type",
         F.unix_timestamp("ts").alias("es"),
@@ -2880,7 +2883,9 @@ def _q97_inter_arrival(spark, sf):
     """Per-type inter-arrival-time profile (stream burstiness / rate
     health): gap since the type's previous event, then count / mean /
     exact interpolated p50+p95. Order totalized with event_id so equal
-    timestamps never make gaps run-dependent."""
+    timestamps never make gaps run-dependent. Scale note: as with q92,
+    key the window on the emitting host/source at corpus scale, then
+    roll the per-host profiles up to the type level."""
     ev = _t(spark, sf, "events")
     return stats.inter_arrival_stats(ev, key="event_type", ts="ts",
                                      id_col="event_id")
