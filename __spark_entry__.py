@@ -3310,6 +3310,52 @@ def _oracle_fuzzy_prefix() -> str:
     """
 
 
+def _q107_session_paths(spark, sf):
+    """Top-10 session journey paths: 30-min gap sessions, each
+    session's first 5 steps in (es, event_id) total order joined as
+    'a>b>c'. Sessionize window + one per-session collect + one
+    path-keyed count (stateful.session_paths)."""
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_timestamp("ts").alias("es"))
+    return stateful.session_paths(ev, key="user_id", ts="es",
+                                  gap=1800, max_steps=5, top_k=10,
+                                  order_cols=["event_id"])
+
+
+def _oracle_session_paths() -> str:
+    return r"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+        CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events
+    ), b AS (
+      SELECT *, CASE WHEN lag(es) OVER w IS NULL
+                     OR es - lag(es) OVER w > 1800 THEN 1 ELSE 0 END AS nb
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+    ), s AS (
+      SELECT *, sum(nb) OVER (PARTITION BY user_id ORDER BY es, event_id
+                              ROWS UNBOUNDED PRECEDING) - 1 AS sid
+      FROM b
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id, sid
+                                   ORDER BY es, event_id) AS rn
+      FROM s
+    ), paths AS (
+      SELECT string_agg(event_type, '>' ORDER BY es, event_id) AS path
+      FROM r WHERE rn <= 5 GROUP BY user_id, sid
+    ), counted AS (
+      SELECT path, count(*) AS n_sessions FROM paths GROUP BY path
+    ), ranked AS (
+      SELECT *, row_number() OVER (ORDER BY n_sessions DESC, path)
+        AS rank
+      FROM counted)
+    SELECT path, CAST(n_sessions AS BIGINT) AS n_sessions,
+      CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 10
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_simple_stats": _q01_simple_stats,
@@ -3418,6 +3464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_upsert_latest": _q104_upsert_latest,
         "q105_snapshot_diff": _q105_snapshot_diff,
         "q106_fuzzy_prefix": _q106_fuzzy_prefix,
+        "q107_session_paths": _q107_session_paths,
     }
 
 
@@ -4098,6 +4145,7 @@ def oracle_sql() -> dict[str, str]:
         "q104_upsert_latest": _oracle_upsert_latest(),
         "q105_snapshot_diff": _oracle_snapshot_diff(),
         "q106_fuzzy_prefix": _oracle_fuzzy_prefix(),
+        "q107_session_paths": _oracle_session_paths(),
         "q52_repetition": r"""
             WITH b AS (
               SELECT doc_id,

@@ -219,3 +219,54 @@ def snapshot_diff(
               .when(F.col("_old").eqNullSafe(F.col("_new")), "unchanged")
               .otherwise("changed"))
     return j.select(*keys, status.alias("status"), F.col("_new"))
+
+
+def session_paths(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    step_col: str = "event_type",
+    gap: int = 1800,
+    max_steps: int = 5,
+    top_k: int = 10,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Top navigation paths: gap-sessionize, take each session's first
+    ``max_steps`` steps in event order, and count the resulting path
+    strings ("view>view>click>purchase" — the product-analytics 'common
+    journeys' report).
+
+    ``order_cols`` extend the in-session order to a TOTAL order (pass a
+    unique id column after the timestamp) — without it, equal
+    timestamps make paths run-dependent. ``max_steps`` bounds per-path
+    state so a bot session with 10^6 events contributes a fixed-size
+    path, not an unbounded string.
+
+    Plan: the sessionize window shuffle, then ONE groupBy per session
+    (collect_list of at most the whole session, sorted + sliced
+    JVM-side) and one path-keyed count. Output: (path, n_sessions,
+    rank).
+    """
+    from pyspark.sql import types as T
+
+    tcol = F.col(ts)
+    if isinstance(df.schema[ts].dataType,
+                  (T.TimestampType, T.TimestampNTZType)):
+        tcol = F.unix_timestamp(tcol)
+    s = sessionize_gap(df.withColumn("_t", tcol), key=key, ts="_t",
+                       gap=gap)
+    ord_cols = [F.col("_t")] + [F.col(c) for c in (order_cols or [])]
+    step = F.struct(*ord_cols, F.col(step_col).alias("s"))
+    per_session = (s.groupBy(key, "session_id")
+                   .agg(F.slice(F.array_sort(F.collect_list(step)),
+                                1, max_steps).alias("steps")))
+    path = F.array_join(F.transform(F.col("steps"), lambda x: x["s"]), ">")
+    counted = (per_session.select(path.alias("path"))
+               .groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions")))
+    w = Window.orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+    return (counted.withColumn("rank",
+                               F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= top_k)
+            .select("path",
+                    F.col("n_sessions").cast("bigint").alias("n_sessions"),
+                    "rank"))

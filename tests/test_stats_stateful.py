@@ -235,3 +235,27 @@ def test_snapshot_diff(spark):
     got = {r.k: r.status for r in snapshot_diff(old, new, key="k").collect()}
     assert got == {1: "unchanged", 2: "unchanged", 3: "changed",
                    4: "removed", 5: "added"}
+
+
+def test_session_paths(spark):
+    from lumbermill_spark.operators.stateful import session_paths
+
+    rows = [
+        # u1 session 0: v -> c -> p; session 1 (after gap): v
+        ("u1", 1, 0, "view"), ("u1", 2, 100, "click"),
+        ("u1", 3, 200, "purchase"), ("u1", 4, 9000, "view"),
+        # u2: v -> c -> p (same path as u1's first session)
+        ("u2", 5, 0, "view"), ("u2", 6, 50, "click"),
+        ("u2", 7, 60, "purchase"),
+        # u3: a long bot session — path capped at max_steps
+        *[("u3", 10 + i, i, "view") for i in range(8)],
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id long, es long, event_type string")
+    out = {r.path: (r.n_sessions, r.rank)
+           for r in session_paths(df, key="user_id", ts="es", gap=1800,
+                                  max_steps=5, top_k=10,
+                                  order_cols=["event_id"]).collect()}
+    assert out["view>click>purchase"] == (2, 1)
+    assert out["view>view>view>view>view"][0] == 1   # capped at 5
+    assert out["view"][0] == 1                        # u1's second session
