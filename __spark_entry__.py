@@ -3356,6 +3356,59 @@ def _oracle_session_paths() -> str:
     """
 
 
+def _q108_association_rules(spark, sf):
+    """Session market-basket: which event types co-occur in the same
+    30-min user session (support / directional confidence / lift).
+    Transactions = (user, session) from the q87 sessionizer; pair
+    generation is the PMI-style bounded array transform
+    (stats.association_rules)."""
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("es"))
+    s = stateful.sessionize_gap(ev, key="user_id", ts="es", gap=1800)
+    txn = s.select(
+        F.concat_ws("#", F.col("user_id").cast("string"),
+                    F.col("session_id").cast("string")).alias("txn_id"),
+        F.col("event_type").alias("item"))
+    return stats.association_rules(txn, min_pair_count=5)
+
+
+def _oracle_association_rules() -> str:
+    return r"""
+    WITH e AS (
+      SELECT user_id, event_type,
+        CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events
+    ), b AS (
+      SELECT *, CASE WHEN lag(es) OVER w IS NULL
+                     OR es - lag(es) OVER w > 1800 THEN 1 ELSE 0 END AS nb
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es)
+    ), s AS (
+      SELECT user_id, event_type,
+        sum(nb) OVER (PARTITION BY user_id ORDER BY es
+                      ROWS UNBOUNDED PRECEDING) - 1 AS sid
+      FROM b
+    ), ti AS (
+      SELECT DISTINCT CAST(user_id AS VARCHAR) || '#'
+        || CAST(sid AS VARCHAR) AS t, event_type AS i
+      FROM s
+    ), n_txn AS (SELECT count(DISTINCT t) AS n FROM ti),
+    ic AS (SELECT i, count(*) AS ni FROM ti GROUP BY i),
+    pairs AS (
+      SELECT x.i AS a, y.i AS b, count(*) AS n_pair
+      FROM ti x JOIN ti y ON x.t = y.t AND x.i < y.i
+      GROUP BY 1, 2 HAVING count(*) >= 5)
+    SELECT p.a AS item_a, p.b AS item_b,
+      CAST(p.n_pair AS BIGINT) AS n_pair,
+      round(CAST(p.n_pair AS DOUBLE) / n.n, 4) AS support,
+      round(CAST(p.n_pair AS DOUBLE) / ca.ni, 4) AS conf_ab,
+      round(CAST(p.n_pair AS DOUBLE) / cb.ni, 4) AS conf_ba,
+      round(CAST(p.n_pair AS DOUBLE) * n.n / (ca.ni * cb.ni), 4) AS lift
+    FROM pairs p
+      JOIN ic ca ON ca.i = p.a
+      JOIN ic cb ON cb.i = p.b, n_txn n
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_simple_stats": _q01_simple_stats,
@@ -3465,6 +3518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q105_snapshot_diff": _q105_snapshot_diff,
         "q106_fuzzy_prefix": _q106_fuzzy_prefix,
         "q107_session_paths": _q107_session_paths,
+        "q108_association_rules": _q108_association_rules,
     }
 
 
@@ -4146,6 +4200,7 @@ def oracle_sql() -> dict[str, str]:
         "q105_snapshot_diff": _oracle_snapshot_diff(),
         "q106_fuzzy_prefix": _oracle_fuzzy_prefix(),
         "q107_session_paths": _oracle_session_paths(),
+        "q108_association_rules": _oracle_association_rules(),
         "q52_repetition": r"""
             WITH b AS (
               SELECT doc_id,

@@ -495,3 +495,52 @@ def active_users(df: DataFrame, user: str = "user_id", ts: str = "ts",
             .select(F.col("d").alias("day"),
                     F.col("dau").cast("bigint").alias("dau"),
                     F.col("wau").cast("bigint").alias("wau")))
+
+
+def association_rules(txn: DataFrame, txn_col: str = "txn_id",
+                      item_col: str = "item",
+                      min_pair_count: int = 1) -> DataFrame:
+    """Market-basket association statistics over (transaction, item)
+    rows — for a log pipeline, 'which event types co-occur in the same
+    session far more than chance': support, directional confidence and
+    lift per unordered item pair.
+
+    Plan: distinct (txn, item) once; item counts and per-txn sorted
+    item sets come off that one frame; pair generation is the same
+    pure-JVM indexed array transform as textstats.pmi_pairs (no
+    self-join, bounded items²/txn); frequencies attach via two
+    item-keyed joins (AQE broadcasts when the item dimension is small).
+    Transaction count is a 1-row broadcast.
+
+    Output: (item_a, item_b, n_pair, support, conf_ab, conf_ba, lift),
+    floats rounded 4, pairs below ``min_pair_count`` dropped.
+    """
+    from pyspark.sql import Window  # noqa: F401  (parity with siblings)
+
+    ti = txn.select(F.col(txn_col).alias("t"),
+                    F.col(item_col).alias("i")).distinct()
+    n_txn = ti.select(F.count_distinct("t").alias("n"))
+    item_counts = ti.groupBy("i").agg(F.count(F.lit(1)).alias("ni"))
+    per_txn = ti.groupBy("t").agg(
+        F.sort_array(F.collect_set("i")).alias("items"))
+    arr = F.col("items")
+    pair_gen = F.flatten(F.transform(
+        arr, lambda x, idx: F.transform(
+            F.slice(arr, idx + 2, F.size(arr)),
+            lambda y: F.struct(x.alias("a"), y.alias("b")))))
+    pairs = (per_txn.select(F.explode(pair_gen).alias("p"))
+             .groupBy("p.a", "p.b").agg(F.count(F.lit(1)).alias("n_pair"))
+             .where(F.col("n_pair") >= min_pair_count))
+    ca = item_counts.select(F.col("i").alias("a"), F.col("ni").alias("n_a"))
+    cb = item_counts.select(F.col("i").alias("b"), F.col("ni").alias("n_b"))
+    out = (pairs.join(ca, on="a").join(cb, on="b")
+           .crossJoin(F.broadcast(n_txn)))
+    npair = F.col("n_pair").cast("double")
+    return out.select(
+        F.col("a").alias("item_a"), F.col("b").alias("item_b"),
+        F.col("n_pair").cast("bigint").alias("n_pair"),
+        F.round(npair / F.col("n"), 4).alias("support"),
+        F.round(npair / F.col("n_a"), 4).alias("conf_ab"),
+        F.round(npair / F.col("n_b"), 4).alias("conf_ba"),
+        F.round(npair * F.col("n") / (F.col("n_a") * F.col("n_b")), 4)
+         .alias("lift"))

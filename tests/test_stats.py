@@ -212,3 +212,23 @@ def test_active_users(spark):
     # day 0: dau 2, wau 2; day 1: dau 1, wau {u1,u2}=2
     # day 8: dau 1, wau {u3} only (day-1 activity fell out of [2..8])
     assert out == {0: (2, 2), 1: (1, 2), 8: (1, 1)}
+
+
+def test_association_rules(spark):
+    from lumbermill_spark.operators.stats import association_rules
+
+    txn = spark.createDataFrame(
+        [("t1", "x"), ("t1", "y"), ("t1", "x"),   # dup item collapses
+         ("t2", "x"), ("t2", "y"),
+         ("t3", "x"), ("t4", "z")],
+        "txn_id string, item string")
+    out = {(r.item_a, r.item_b): r
+           for r in association_rules(txn).collect()}
+    r = out[("x", "y")]
+    # n=4 txns, x in 3, y in 2, xy in 2
+    assert r.n_pair == 2
+    assert r.support == 0.5
+    assert r.conf_ab == round(2 / 3, 4)   # P(y|x)
+    assert r.conf_ba == 1.0               # P(x|y)
+    assert r.lift == round(2 * 4 / (3 * 2), 4)
+    assert ("x", "z") not in out
