@@ -18,6 +18,8 @@ Sections (each a library operator; see lumbermill_spark/operators/):
     (stats.top_k_per_group), z-score outliers (stats.zscore_flags)
  6. shape       — one-pass ROLLUP subtotals (stats.rollup_agg) and a
     day x type pivot (stats.pivot_counts)
+ 7. journeys    — top session paths (stateful.session_paths) and
+    within-session association rules (stats.association_rules)
 
 Everything before a .show() is one lazy DataFrame chain — Catalyst sees
 the whole plan per section; nothing is collected except the rendered
@@ -110,6 +112,25 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
         "day", "event_type",
         ["click", "error", "purchase", "signup", "view"]) \
         .orderBy("day").show(5)
+
+    # 7. journeys
+    print("== top session paths ==")
+    stateful.session_paths(
+        ev.select("user_id", "event_id", "event_type",
+                  F.unix_timestamp("ts").alias("es2")),
+        key="user_id", ts="es2", gap=1800, max_steps=5, top_k=5,
+        order_cols=["event_id"]).show(truncate=False)
+    print("== within-session association rules (top lift) ==")
+    sess = stateful.sessionize_gap(
+        ev.select("user_id", "event_type",
+                  F.unix_timestamp("ts").alias("es3")),
+        key="user_id", ts="es3", gap=1800)
+    txn = sess.select(
+        F.concat_ws("#", F.col("user_id").cast("string"),
+                    F.col("session_id").cast("string")).alias("txn_id"),
+        F.col("event_type").alias("item"))
+    stats.association_rules(txn, min_pair_count=5) \
+        .orderBy(F.col("lift").desc()).show(5)
 
 
 if __name__ == "__main__":
