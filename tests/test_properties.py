@@ -351,3 +351,51 @@ def test_token_budget_trim_invariants(spark, rows, budget):
         assert got.get(src, set()) == expect, (src, budget)
         assert sum(t for i, (s, t) in enumerate(rows)
                    if s == src and i in expect) <= budget
+
+
+# --- upsert / snapshot diff vs brute force ----------------------------
+
+_kv = st.tuples(st.integers(min_value=0, max_value=6),
+                st.integers(min_value=0, max_value=9))
+
+
+@given(st.lists(_kv, min_size=0, max_size=12, unique_by=lambda t: t[0]),
+       st.lists(_kv, min_size=0, max_size=12, unique_by=lambda t: t[0]))
+@SET
+def test_upsert_latest_matches_bruteforce(spark, base, batch):
+    from lumbermill_spark.operators.stateful import upsert_latest
+
+    if not base or not batch:
+        return  # createDataFrame needs rows; empty sides are untested API
+    b = spark.createDataFrame(base, "k int, v int")
+    u = spark.createDataFrame(batch, "k int, v int")
+    got = {r.k: r.v for r in upsert_latest(b, u, key="k",
+                                           version="v").collect()}
+    expect = {}
+    for k, v in base:
+        expect[k] = (v, 0)
+    for k, v in batch:
+        if k not in expect or (v, 1) > expect[k]:
+            expect[k] = (v, 1)
+    assert got == {k: v for k, (v, _) in expect.items()}
+
+
+@given(st.lists(_kv, min_size=1, max_size=12, unique_by=lambda t: t[0]),
+       st.lists(_kv, min_size=1, max_size=12, unique_by=lambda t: t[0]))
+@SET
+def test_snapshot_diff_matches_bruteforce(spark, old, new):
+    from lumbermill_spark.operators.stateful import snapshot_diff
+
+    o = spark.createDataFrame(old, "k int, v int")
+    n = spark.createDataFrame(new, "k int, v int")
+    got = {r.k: r.status for r in snapshot_diff(o, n, key="k").collect()}
+    od, nd = dict(old), dict(new)
+    for k in set(od) | set(nd):
+        if k not in od:
+            assert got[k] == "added"
+        elif k not in nd:
+            assert got[k] == "removed"
+        elif od[k] == nd[k]:
+            assert got[k] == "unchanged"
+        else:
+            assert got[k] == "changed"
