@@ -3409,6 +3409,43 @@ def _oracle_association_rules() -> str:
     """
 
 
+def _q109_mad_outliers(spark, sf):
+    """Robust (median/MAD) outlier flags per event_type — the
+    heavy-tail companion to q85's z-score: modified z =
+    0.6745*(x-median)/MAD, flag at |mz| > 3.5 (stats.mad_flags). The
+    flag compares the ROUNDED mz so the decision replays identically
+    in any engine."""
+    ev = _t(spark, sf, "events")
+    out = stats.mad_flags(ev, "value", ["event_type"], threshold=3.5)
+    return out.select("event_id", "event_type",
+                      F.round("value", 2).alias("value"),
+                      "mzscore", "is_outlier")
+
+
+def _oracle_mad_outliers() -> str:
+    return r"""
+    WITH m AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ), d AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+        abs(e.value - m.med) AS adev
+      FROM events e JOIN m USING (event_type)
+    ), md AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM d GROUP BY event_type
+    ), z AS (
+      SELECT d.event_id, d.event_type, round(d.value, 2) AS value,
+        CASE WHEN md.mad > 0
+             THEN round(0.6745 * (d.value - d.med) / md.mad, 4)
+        END AS mzscore
+      FROM d JOIN md USING (event_type))
+    SELECT event_id, event_type, value, mzscore,
+      coalesce(abs(mzscore) > 3.5, FALSE) AS is_outlier
+    FROM z
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_simple_stats": _q01_simple_stats,
@@ -3519,6 +3556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_fuzzy_prefix": _q106_fuzzy_prefix,
         "q107_session_paths": _q107_session_paths,
         "q108_association_rules": _q108_association_rules,
+        "q109_mad_outliers": _q109_mad_outliers,
     }
 
 
@@ -4201,6 +4239,7 @@ def oracle_sql() -> dict[str, str]:
         "q106_fuzzy_prefix": _oracle_fuzzy_prefix(),
         "q107_session_paths": _oracle_session_paths(),
         "q108_association_rules": _oracle_association_rules(),
+        "q109_mad_outliers": _oracle_mad_outliers(),
         "q52_repetition": r"""
             WITH b AS (
               SELECT doc_id,

@@ -544,3 +544,39 @@ def association_rules(txn: DataFrame, txn_col: str = "txn_id",
         F.round(npair / F.col("n_b"), 4).alias("conf_ba"),
         F.round(npair * F.col("n") / (F.col("n_a") * F.col("n_b")), 4)
          .alias("lift"))
+
+
+def mad_flags(df: DataFrame, value_field: str,
+              group_fields: list[str] | None = None,
+              threshold: float = 3.5,
+              round_to: int = 4) -> DataFrame:
+    """Robust outlier flags via median absolute deviation — the
+    companion to :func:`zscore_flags` for telemetry whose outliers are
+    heavy enough to drag the mean/stddev themselves (a z-score of a
+    500x latency spike barely flags when the spike is IN the stddev).
+    Modified z = 0.6745 * (x - median) / MAD (Iglewicz-Hoaglin);
+    |mz| > threshold flags.
+
+    Plan: two partial-aggregated passes over the group (median of x,
+    then median of |x - median|) broadcast back — exact percentile per
+    group, fine for grouped telemetry; at corpus scale swap in
+    approx_percentile. MAD-0 groups (constant majority) flag nothing.
+    Adds: mzscore, is_outlier.
+    """
+    group_fields = group_fields or []
+    med = df.groupBy(*group_fields).agg(
+        F.percentile(value_field, F.lit(0.5)).alias("_med"))
+    j1 = (df.join(F.broadcast(med), on=group_fields)
+          if group_fields else df.crossJoin(F.broadcast(med)))
+    mad = j1.groupBy(*group_fields).agg(
+        F.percentile(F.abs(F.col(value_field) - F.col("_med")),
+                     F.lit(0.5)).alias("_mad"))
+    j2 = (j1.join(F.broadcast(mad), on=group_fields)
+          if group_fields else j1.crossJoin(F.broadcast(mad)))
+    mz = F.round(F.lit(0.6745) * (F.col(value_field) - F.col("_med"))
+                 / F.col("_mad"), round_to)
+    mz = F.when(F.col("_mad") > 0, mz)
+    return (j2.withColumn("mzscore", mz)
+            .withColumn("is_outlier",
+                        F.coalesce(F.abs(mz) > threshold, F.lit(False)))
+            .drop("_med", "_mad"))

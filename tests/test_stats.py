@@ -232,3 +232,26 @@ def test_association_rules(spark):
     assert r.conf_ba == 1.0               # P(x|y)
     assert r.lift == round(2 * 4 / (3 * 2), 4)
     assert ("x", "z") not in out
+
+
+def test_mad_flags(spark):
+    from lumbermill_spark.operators.stats import mad_flags
+
+    # median 10, MAD 1 -> the 500 spike flags; z-score would be
+    # dragged by the spike itself (stddev ~155, z(500) ~ 3.1 with a
+    # 2.5x threshold barely firing, and nothing else resolvable)
+    vals = [9.0, 10.0, 10.0, 11.0, 9.0, 11.0, 500.0]
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(vals)],
+        "g string, id int, v double")
+    out = {r.id: (r.mzscore, r.is_outlier)
+           for r in mad_flags(df, "v", ["g"], threshold=3.5).collect()}
+    assert out[6][1] is True           # the spike
+    assert all(not out[i][1] for i in range(6))
+    assert out[6][0] == round(0.6745 * (500 - 10) / 1.0, 4)
+
+    # constant group: MAD 0 -> nothing flags, mzscore null
+    df2 = spark.createDataFrame([("c", i, 5.0) for i in range(4)],
+                                "g string, id int, v double")
+    got2 = mad_flags(df2, "v", ["g"]).collect()
+    assert all(not r.is_outlier and r.mzscore is None for r in got2)
