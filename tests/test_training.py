@@ -367,14 +367,23 @@ def test_connected_components_long_chain_converges(spark):
     # a 64-node path has diameter 63: plain one-hop propagation needs 63
     # rounds (> max_iterations=20 — round 2 silently returned unconverged
     # labels here); pointer-doubling must converge within the default
-    # budget, and non-convergence must now raise instead of lying
+    # budget, and non-convergence must now raise instead of lying.
+    # driver_max_edges=0 pins the DISTRIBUTED path (the default would
+    # take the driver union-find fast path for a graph this small).
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(63)], "id_a long, id_b long")
     comp = {r["id"]: r["component"]
-            for r in dedup.connected_components(pairs).collect()}
+            for r in dedup.connected_components(
+                pairs, driver_max_edges=0).collect()}
     assert comp == {i: 0 for i in range(64)}
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(pairs, compress=False, max_iterations=5)
+        dedup.connected_components(pairs, compress=False, max_iterations=5,
+                                   driver_max_edges=0)
+    # the driver union-find fast path (default for small graphs) must
+    # produce identical labels to the distributed loop
+    comp_drv = {r["id"]: r["component"]
+                for r in dedup.connected_components(pairs).collect()}
+    assert comp_drv == comp
 
 
 def test_dup_span_stats(spark):
