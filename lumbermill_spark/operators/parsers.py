@@ -321,8 +321,10 @@ def parse_syslog_prival(df: DataFrame, source_field: str = "syslog_prival",
         kv = []
         for k, v in m.items():
             kv += [F.lit(int(k)), F.lit(v)]
-        # unmapped ids stay numeric (reference KeyError -> pass), as string
-        return F.coalesce(F.element_at(F.create_map(*kv), key),
+        # unmapped ids stay numeric (reference KeyError -> pass), as
+        # string; try_element_at because ANSI mode makes a missing map
+        # key an error, not a null, and coalesce evaluates its first arg
+        return F.coalesce(F.try_element_at(F.create_map(*kv), key),
                           key.cast("string"))
 
     return (df.withColumn("syslog_facility", _lookup(fmap, fac))

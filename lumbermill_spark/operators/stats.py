@@ -332,29 +332,49 @@ def funnel_counts(df: DataFrame, steps: list[str],
     timestamp is the user's EARLIEST qualifying occurrence, which
     maximizes downstream conversion — the standard semantics).
 
-    Plan: one filtered min-aggregation per step, each joined to the
-    previous step's per-user frontier on the user key. Frames shrink
-    monotonically down the funnel; every join is keyed on the user, so
-    K steps cost K small shuffles on progressively smaller sides (and
-    AQE broadcasts the frontier once it fits).
+    Plan: ONE shuffle total. Events are filtered to the funnel's step
+    types and partitioned once on the user; K chained whole-partition
+    window columns compute each step's frontier time as
+    min(t | type = step_i AND t >= frontier_{i-1}) — each window uses
+    the same partitioning (no order), so Catalyst plans one exchange
+    with K window passes over it, and the per-user + global count
+    aggregations reuse the same partitioning. The previous
+    formulation (K sequential frontier joins, one ACTION per step) was
+    K jobs re-scanning the input; this is one job, one scan. Per-user
+    state is the partition group buffered by WindowExec — bounded by a
+    user's own funnel-type event count, the same per-entity envelope as
+    sessionization (WindowExec spills past
+    spark.sql.windowExec.buffer.spill.threshold, so a runaway power
+    user degrades to disk, not OOM).
 
     Output: (step bigint 1-based, step_name, n_users) — one row per
     step, monotonically non-increasing n_users.
     """
+    from pyspark.sql import Window
+
     spark = df.sparkSession
     tcol = F.unix_timestamp(F.col(ts))
-    base = df.select(F.col(user).alias("u"), tcol.alias("t"),
-                     F.col(event_type).alias("e"))
-    frontier = None
-    rows = []
+    base = (df.select(F.col(user).alias("u"), tcol.alias("t"),
+                      F.col(event_type).alias("e"))
+            .where(F.col("e").isin(list(steps))))
+    w = Window.partitionBy("u")
+    cur = base
+    prev: str | None = None
     for i, step in enumerate(steps):
-        stage = base.where(F.col("e") == step)
-        if frontier is not None:
-            stage = (stage.join(frontier, on="u")
-                     .where(F.col("t") >= F.col("t_prev")))
-        frontier = stage.groupBy("u").agg(F.min("t").alias("t_prev"))
-        n = frontier.count()
-        rows.append((i + 1, step, n))
+        qual = F.col("e") == step
+        if prev is not None:
+            qual = qual & F.col(prev).isNotNull() & (F.col("t") >= F.col(prev))
+        cur = cur.withColumn(f"_t{i}", F.min(F.when(qual, F.col("t"))).over(w))
+        prev = f"_t{i}"
+    k = len(steps)
+    per_user = cur.groupBy("u").agg(
+        *[F.max(f"_t{i}").alias(f"_t{i}") for i in range(k)])
+    counts = per_user.agg(
+        *[F.coalesce(
+            F.sum(F.when(F.col(f"_t{i}").isNotNull(), 1).otherwise(0)),
+            F.lit(0)).cast("long").alias(f"_n{i}")
+          for i in range(k)]).collect()[0]
+    rows = [(i + 1, step, counts[f"_n{i}"]) for i, step in enumerate(steps)]
     return spark.createDataFrame(
         rows, "step bigint, step_name string, n_users bigint")
 
@@ -392,7 +412,10 @@ def rolling_agg(df: DataFrame, key: str, order_by: list[str],
          .rowsBetween(-(n - 1), Window.currentRow))
     s = F.sum(value_field).over(w)
     c = F.count(F.lit(1)).over(w)
-    return (df.withColumn("roll_sum", s.cast("bigint"))
+    # roll_sum keeps Spark's natural sum type (long for integral input,
+    # double for doubles) — a bigint cast here silently truncated
+    # fractional sums for double-typed telemetry values
+    return (df.withColumn("roll_sum", s)
               .withColumn("roll_n", c.cast("bigint"))
               .withColumn("roll_avg",
                           F.round(s.cast("double") / c, round_to)))

@@ -272,3 +272,10 @@ def test_iceberg_fails_fast_without_jar(spark):
     df = spark.range(1)
     with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
         write_table(df, "lm.db.tokens")
+    # mode vocabulary: full overwrite and dynamic partition overwrite
+    # are distinct modes (overwritePartitions only replaces partitions
+    # present in df — not what the name "overwrite" promises)
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        write_table(df, "lm.db.tokens", mode="overwrite_partitions")
+    with pytest.raises(ValueError, match="mode must be"):
+        write_table(df, "lm.db.tokens", mode="replace")
