@@ -383,7 +383,10 @@ def _q20_minhash_lsh(spark, sf):
     bimodal (no pairs in [0.15, 0.75)): every qualifying pair has
     jaccard >= 0.75, where the 16-band/2-row collision-miss probability
     is < 2e-6 per pair — the banded candidates provably cover the exact
-    answer set, so the SQL twin computes exact pairs >= threshold."""
+    answer set, so the SQL twin computes exact pairs >= threshold.
+    (That bound requires INDEPENDENT hash slots: round 5's sf0.1 gate
+    caught the previous affine family degenerating to one correlated
+    hash — see minhash_signatures — which missed j=0.9+ pairs.)"""
     docs = _t(spark, sf, "documents")
     return dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=16,
                                    shingle_n=3, threshold=0.2)
@@ -3441,8 +3444,12 @@ def _oracle_mad_outliers() -> str:
       FROM d GROUP BY event_type
     ), z AS (
       SELECT d.event_id, d.event_type, round(d.value, 2) AS value,
+        -- floor(x*1e4 + 0.5)/1e4, NOT round(): plain IEEE ops replay
+        -- bit-exactly across engines, engine round() half-way
+        -- conventions do not (matches stats.mad_flags)
         CASE WHEN md.mad > 0
-             THEN round(0.6745 * (d.value - d.med) / md.mad, 4)
+             THEN floor(0.6745 * (d.value - d.med) / md.mad
+                        * 10000.0 + 0.5) / 10000.0
         END AS mzscore
       FROM d JOIN md USING (event_type))
     SELECT event_id, event_type, value, mzscore,

@@ -596,8 +596,16 @@ def mad_flags(df: DataFrame, value_field: str,
                      F.lit(0.5)).alias("_mad"))
     j2 = (j1.join(F.broadcast(mad), on=group_fields)
           if group_fields else j1.crossJoin(F.broadcast(mad)))
-    mz = F.round(F.lit(0.6745) * (F.col(value_field) - F.col("_med"))
-                 / F.col("_mad"), round_to)
+    # explicit floor(x*s + 0.5)/s rounding instead of F.round: every op
+    # is plain IEEE arithmetic, so any engine replays it bit-exactly.
+    # Engine round() implementations disagree on exact .5 boundaries at
+    # the target precision (Spark's BigDecimal HALF_UP vs DuckDB —
+    # caught by the sf0.1 oracle gate on this query), while med/MAD
+    # themselves replay bit-identically.
+    scale = float(10 ** round_to)
+    raw = (F.lit(0.6745) * (F.col(value_field) - F.col("_med"))
+           / F.col("_mad"))
+    mz = F.floor(raw * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
     mz = F.when(F.col("_mad") > 0, mz)
     return (j2.withColumn("mzscore", mz)
             .withColumn("is_outlier",

@@ -221,6 +221,41 @@ def valid_keys(name: str) -> set[str] | None:
     return _fn_keys(raw) if raw is not None else set()
 
 
+# conditional requiredness (the reference's `is: required if <key> is
+# <value>` docstring-schema clauses, utils/ConfigurationValidator.py:
+# 26-45): per module, rules (when_key, when_values, required_keys) —
+# every key in required_keys must be present when cfg[when_key] is in
+# when_values; when_values="*" means "whenever when_key is set at all".
+_REQUIRED_IF: dict[str, list[tuple[str, object, set[str]]]] = {
+    # modifier.Field per-action requirements are enforced from the
+    # action function's signature in _validate_module; add cross-key
+    # conditional rules for other modules here as they grow them.
+}
+
+# sink-level conditional rules (outputs are compiled to SinkSpec, not
+# through _validate_module): mode=merge is the ES 'update' bulk action
+# analog and is meaningless without a key and a version column.
+_SINK_REQUIRED_IF: list[tuple[str, object, set[str]]] = [
+    ("mode", ("merge",), {"merge_key", "merge_version"}),
+]
+
+
+def _check_required_if(name: str, cfg: dict,
+                       rules: list[tuple[str, object, set[str]]]) -> None:
+    for when_key, when_values, needed in rules:
+        val = cfg.get(when_key)
+        if val is None:
+            continue
+        if when_values != "*" and val not in when_values:
+            continue
+        missing = needed - set(cfg)
+        if missing:
+            raise ValueError(
+                f"module {name!r}: option(s) "
+                + ", ".join(repr(k) for k in sorted(missing))
+                + f" required when {when_key!r} is {val!r}")
+
+
 def _validate_module(name: str, cfg: dict) -> None:
     """Compile-time config validation (the reference validates module
     configs from docstring schemas before start,
@@ -258,6 +293,7 @@ def _validate_module(name: str, cfg: dict) -> None:
         raise ValueError(
             f"module {name!r} missing required option(s): "
             + ", ".join(repr(k) for k in sorted(missing)))
+    _check_required_if(name, cfg, _REQUIRED_IF.get(name, []))
 
 INPUTS = {
     "input.Tokens": _in_tokens,
@@ -346,7 +382,7 @@ def compile_pipeline(spark: SparkSession, spec: list | dict | str) -> CompiledPi
     sinks: list[SinkSpec] = []
     _SINK_KEYS = {"name", "filter", "path", "format", "partition_by",
                   "columns", "mode", "compression", "line_format",
-                  "format_line"}
+                  "format_line", "merge_key", "merge_version"}
     _INPUT_KEYS = {"input.Tokens": {"path", "format"},
                    "input.Synthetic": {"rows", "seed"}}
     for item in spec:
@@ -363,6 +399,7 @@ def compile_pipeline(spark: SparkSession, spec: list | dict | str) -> CompiledPi
             if extra:
                 raise ValueError(
                     f"unknown option {sorted(extra)[0]!r} for {name!r}")
+            _check_required_if(name, cfg, _SINK_REQUIRED_IF)
             fmt = {"output.Parquet": "parquet", "output.File": "text",
                    "output.DevNull": "noop", "output.StdOut": "noop"}[name]
             sinks.append(SinkSpec(
@@ -373,6 +410,8 @@ def compile_pipeline(spark: SparkSession, spec: list | dict | str) -> CompiledPi
                 partition_by=cfg.get("partition_by", []),
                 columns=cfg.get("columns"),
                 mode=cfg.get("mode", "overwrite"),
+                merge_key=cfg.get("merge_key"),
+                merge_version=cfg.get("merge_version"),
                 compression=cfg.get("compression"),
                 line_format=cfg.get("line_format") or cfg.get("format_line"),
             ))

@@ -46,7 +46,16 @@ class SinkSpec:
     format: str = "parquet"
     partition_by: list[str] = dfield(default_factory=list)
     columns: list[str] | None = None     # projection before write
+    # "overwrite" | "append" | "merge". mode="merge" is the
+    # output.ElasticSearch 'update' bulk action analog
+    # (ElasticSearch.py:166-194): the batch SCD-1-merges into the
+    # sink's latest committed snapshot on merge_key (highest
+    # merge_version wins, batch wins ties) and the result commits as a
+    # NEW snapshot dir — never an in-place rewrite of the snapshot
+    # being read. Requires merge_key + merge_version.
     mode: str = "overwrite"
+    merge_key: str | list[str] | None = None
+    merge_version: str | None = None
     compression: str | None = None       # e.g. 'snappy'|'gzip' (output.File)
     # output.File 'format' option (File.py:113-142): a $(field) template
     # rendering each event to one text line; implies a single-column
@@ -104,6 +113,49 @@ def route_tag(df: DataFrame, sinks: list[SinkSpec],
     return out
 
 
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """Filesystem-agnostic existence probe via the Hadoop FS API (works
+    for file://, hdfs://, s3a:// — wherever the sink writes)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf).exists(p)
+
+
+def merge_snapshot_path(spark: SparkSession, base: str, sink: str,
+                        sink_path: str | None = None) -> str | None:
+    """Latest COMMITTED merge snapshot dir for ``sink`` (None before the
+    first commit). Reads the checkpoint table newest-first and returns
+    the first run whose snapshot dir actually exists — a crash between
+    data write and commit row leaves the previous snapshot current
+    (atomic-by-marker, the plain-parquet emulation of an Iceberg
+    snapshot pointer; with the Iceberg runtime the table's own current
+    snapshot plays this role and the merge becomes MERGE INTO)."""
+    root = sink_path or f"{base.rstrip('/')}/{sink}"
+    try:
+        ck = ckpt.read_checkpoints(spark, base)
+    except Exception:
+        return None
+    rows = (ck.filter(F.col("sink") == sink)
+            .orderBy(F.col("committed_at").desc())
+            .select("run_id").collect())
+    for r in rows:
+        p = f"{root}/snap={r['run_id']}"
+        if _fs_exists(spark, p):
+            return p
+    return None
+
+
+def read_merged(spark: SparkSession, base: str, sink: str,
+                fmt: str = "parquet") -> DataFrame:
+    """Read a merge-mode sink's current committed snapshot."""
+    p = merge_snapshot_path(spark, base, sink)
+    if p is None:
+        raise FileNotFoundError(
+            f"no committed merge snapshot for sink {sink!r} under {base}")
+    return spark.read.format(fmt).load(p)
+
+
 def route_and_write(
     df: DataFrame,
     sinks: list[SinkSpec],
@@ -158,6 +210,28 @@ def route_and_write(
                 *[F.col(c) for c in keep_parts],
             )
 
+        if spec.mode == "merge":
+            # SCD-1 merge into the sink's latest committed snapshot
+            # (ES 'update' action analog). The merged result is written
+            # to a NEW snapshot dir keyed by run_id — rewriting the dir
+            # being read is never safe, and the commit row below is
+            # what makes the new snapshot current. Idempotent on retry
+            # (same run_id -> same dir, mode=overwrite); resume skips
+            # via the committed-sinks check above.
+            if not spec.merge_key or not spec.merge_version:
+                raise ValueError(
+                    f"sink {spec.name!r}: mode='merge' requires "
+                    "merge_key and merge_version")
+            from lumbermill_spark.operators.stateful import upsert_latest
+
+            prev = merge_snapshot_path(spark, base, spec.name, spec.path)
+            existing = (spark.read.format(spec.format).load(prev)
+                        if prev is not None
+                        else spark.createDataFrame([], branch.schema))
+            branch = upsert_latest(existing, branch,
+                                   spec.merge_key, spec.merge_version)
+            path = f"{path}/snap={run_id}"
+
         has_tok = token_col and token_col in branch.columns
         obs = Observation(f"{run_id}-{spec.name}")
         metrics_exprs = [F.count(F.lit(1)).alias("rows")]
@@ -170,7 +244,8 @@ def route_and_write(
             # DevNull (output/DevNull.py:19-20): run the plan, keep nothing
             observed.write.format("noop").mode("overwrite").save()
         else:
-            writer = observed.write.mode(spec.mode)
+            write_mode = "overwrite" if spec.mode == "merge" else spec.mode
+            writer = observed.write.mode(write_mode)
             if spec.compression:
                 writer = writer.option("compression", spec.compression)
             if spec.partition_by:
@@ -227,6 +302,7 @@ def route_and_write_tagged(
             "format": None if s.format == "parquet" else s.format,
             "partition_by": s.partition_by or None,
             "mode": None if s.mode == "overwrite" else s.mode,
+            "merge_key": s.merge_key, "merge_version": s.merge_version,
         }
         set_opts = [k for k, v in custom.items() if v is not None]
         if set_opts:

@@ -108,6 +108,29 @@ def exact_dedup_incremental(
     return exact_dedup(fresh, text_col, id_col, normalize)
 
 
+#: rows above which an UNBLOCKED (block_col=None) all-pairs generator
+#: refuses to run — N rows emit ~N²/2 pairs, so 20k rows is already
+#: 200M candidate pairs; every production path must block (source,
+#: LSH/SRP bucket) or use the minhash/simhash candidate generators.
+UNBLOCKED_PAIR_LIMIT = 20_000
+
+
+def require_block(df: DataFrame, caller: str,
+                  limit: int = UNBLOCKED_PAIR_LIMIT) -> None:
+    """Self-enforcing scale contract for all-pairs fallbacks: count the
+    input (one column-pruned scan) and raise if an unblocked quadratic
+    join would run on more than ``limit`` rows. Cheap insurance — the
+    count is trivial next to the N²/2 join it prevents."""
+    n = df.count()
+    if n > limit:
+        raise ValueError(
+            f"{caller}: block_col is None with {n:,} input rows "
+            f"(limit {limit:,}); the unblocked all-pairs fallback is "
+            "test-scale only — pass block_col (source, LSH/SRP bucket) "
+            "or use the MinHash/SimHash candidate path, or raise "
+            "unblocked_limit explicitly if you really mean it")
+
+
 # --------------------------------------------------------------------- #
 # shingles / n-grams
 
@@ -134,13 +157,16 @@ def ngram_jaccard_pairs(
     block_col: str | None = None,
     hashed: bool = True,
     max_df: int | None = None,
+    unblocked_limit: int = UNBLOCKED_PAIR_LIMIT,
 ) -> DataFrame:
     """Exact Jaccard over word n-gram sets for candidate pairs.
 
     ``block_col`` bounds the self-join (pairs only within a block —
     source, LSH bucket, …); None = full cross pairing (test scale only:
     the join is O(n²) without blocking, which is exactly what the
-    MinHash path avoids).
+    MinHash path avoids — enforced by :func:`require_block`, which
+    raises past ``unblocked_limit`` input rows so the fallback cannot
+    silently reach production scale).
     ``hashed=True`` (default) uses the scalable explode-and-count plan:
     each shingle becomes one (id, block, shingle-hash) row; an
     equi-join on (block, hash) + groupBy(id_a, id_b) counts
@@ -153,6 +179,8 @@ def ngram_jaccard_pairs(
     """
     from pyspark.sql import Window
 
+    if block_col is None:
+        require_block(df, "ngram_jaccard_pairs", unblocked_limit)
     df = ensure_min_parallelism(df)  # single-row-group inputs: fan out
     grams = word_shingles(F.col(text_col), n)
     blk = [F.col(block_col).alias("_blk")] if block_col else []
@@ -219,29 +247,6 @@ def ngram_jaccard_pairs(
 # --------------------------------------------------------------------- #
 # MinHash + LSH
 
-def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
-    """Deterministic (a, b) pairs for h_i(x) = (a*x + b) mod P, derived
-    from the seed by splitmix-style mixing (no RNG state).
-
-    a < 2^30 and x is pre-reduced to 31 bits, so a*x + b < 2^62 — no
-    int64 overflow, which keeps the expression valid under ANSI mode
-    (the grading session may run with spark.sql.ansi.enabled=true,
-    where wraparound is an ARITHMETIC_OVERFLOW error)."""
-    params = []
-    s = seed & 0xFFFFFFFFFFFFFFFF
-    for _ in range(num_hashes):
-        s = (s + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
-        z = s
-        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
-        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
-        a = (z % ((1 << 30) - 1)) + 1
-        s = (s + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
-        z = s ^ (s >> 31)
-        b = z % (1 << 31)
-        params.append((a, b))
-    return params
-
-
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -256,25 +261,31 @@ def minhash_signatures(
     hash function: partial aggregation reduces each partition to a
     single row per doc before the shuffle, so the shuffle volume is
     O(docs × H), independent of shingle count.
+
+    Hash family: h_i(shingle) = xxhash64(base_hash, seed + i) — each
+    slot re-hashes the shingle's base hash with a distinct salt, so the
+    slots are INDEPENDENT. The previous affine family
+    (a_i * x + b_i) mod P chose a < 2^30 and x < 2^31 for ANSI
+    overflow safety, but then a*x + b < 2^61 <= P: the mod never
+    wrapped, every h_i was monotone in x, and all slots picked the
+    SAME min-shingle — the signature degenerated to one correlated
+    hash (bands agree all-or-nothing, recall ~= jaccard instead of
+    1-(1-j^r)^b). The sf0.1 oracle gate caught this: nine pairs with
+    jaccard 0.88-0.98 were missed, which a sound 16x2 banding misses
+    with p < 1e-20. xxhash64 is ANSI-safe (a hash, not arithmetic).
     """
     df = ensure_min_parallelism(df)  # single-row-group inputs: fan out
-    params = _hash_params(num_hashes, seed)
-    # NB a tempting rewrite — xxhash64 over the word-slice ARRAY
-    # instead of the joined shingle string (skipping the string
-    # builds) — was measured only ~1.3x faster AND changes the hash
-    # basis, which reshuffles banding luck: 4 near-threshold pairs
-    # dropped out of the verified sf0.1 answer. The string basis is
-    # the verified one; keep it.
     exploded = df.select(
         F.col(id_col).alias("_id"),
         F.explode_outer(word_shingles(F.col(text_col), shingle_n)).alias("_sh"),
-    ).withColumn("_h", F.pmod(F.xxhash64("_sh"), F.lit((1 << 31) - 1)))
+    ).withColumn("_h", F.xxhash64("_sh"))
     aggs = [
-        F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(_P))).alias(f"_m{i}")
-        for i, (a, b) in enumerate(params)
+        F.min(F.xxhash64(F.col("_h"), F.lit(seed + i))).alias(f"_m{i}")
+        for i in range(num_hashes)
     ]
     sigs = exploded.groupBy("_id").agg(*aggs)
-    sig_arr = F.array(*[F.coalesce(F.col(f"_m{i}"), F.lit(_P)) for i in range(num_hashes)])
+    sig_arr = F.array(*[F.coalesce(F.col(f"_m{i}"), F.lit(_P))
+                        for i in range(num_hashes)])
     return sigs.select(F.col("_id").alias(id_col), sig_arr.alias("sig"))
 
 

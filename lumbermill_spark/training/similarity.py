@@ -85,13 +85,24 @@ def near_duplicate_pairs(
     vec_col: str = "embedding",
     block_col: str | None = None,
     round_to: int = 6,
+    unblocked_limit: int | None = None,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (embedding near-dup dedup).
 
     block_col (e.g. an SRP bucket from ``srp_signature``) bounds the
-    self-join; None = full O(n²) (test scale only).
+    self-join; None = full O(n²) — test scale only, enforced by
+    :func:`lumbermill_spark.training.dedup.require_block` (raises past
+    ``unblocked_limit`` rows, default UNBLOCKED_PAIR_LIMIT, so the
+    crossJoin fallback cannot silently reach production scale).
     Output: (id_a, id_b, cos), id_a < id_b.
     """
+    if block_col is None:
+        from lumbermill_spark.training.dedup import (UNBLOCKED_PAIR_LIMIT,
+                                                     require_block)
+
+        require_block(df, "near_duplicate_pairs",
+                      unblocked_limit if unblocked_limit is not None
+                      else UNBLOCKED_PAIR_LIMIT)
     cols = [F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")]
     if block_col:
         cols.append(F.col(block_col).alias("_blk"))

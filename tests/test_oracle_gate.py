@@ -38,3 +38,21 @@ def test_uncovered_queries_pass_local_gate(spark):
     assert not missing, f"uncovered queries without oracle twins: {missing}"
     failures = run_gate(spark, SF_DIR, only=uncovered)
     assert not failures, f"local oracle gate failures: {failures}"
+
+
+@pytest.mark.skipif(os.environ.get("LMS_GATE_SF01") != "1",
+                    reason="opt-in: LMS_GATE_SF01=1 runs the FULL gate "
+                           "at sf0.1 (catches scale-dependent hash "
+                           "drift, e.g. rounded aggregates, that the "
+                           "sf0.01 gate cannot)")
+def test_full_gate_at_sf01(spark):
+    """Scale-drift guard: the identical row/schema/value-hash check for
+    EVERY query at sf0.1 — ten times the driver's gate scale. Run
+    opt-in (LMS_GATE_SF01=1) because it adds ~10 min of wall time; one
+    green run per round is recorded in COVERAGE.md as evidence."""
+    import __spark_entry__ as entrymod
+    from tools.check_oracle import run_gate
+
+    names = list(entrymod.queries())
+    failures = run_gate(spark, "/root/testdata/sf0.1", only=names)
+    assert not failures, f"sf0.1 oracle gate failures: {failures}"

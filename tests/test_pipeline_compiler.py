@@ -279,3 +279,23 @@ def test_iceberg_fails_fast_without_jar(spark):
         write_table(df, "lm.db.tokens", mode="overwrite_partitions")
     with pytest.raises(ValueError, match="mode must be"):
         write_table(df, "lm.db.tokens", mode="replace")
+
+
+def test_required_if_sink_merge(spark):
+    # conditional config validation (reference `is: required if ...`
+    # clauses, ConfigurationValidator.py:26-45): a merge-mode output
+    # without merge_key/merge_version must fail AT COMPILE, naming the
+    # missing options, before any Spark job runs
+    from lumbermill_spark.pipeline import compile_pipeline
+
+    bad = [{"input.Synthetic": {"rows": 10}},
+           {"output.Parquet": {"name": "docs", "mode": "merge"}}]
+    with pytest.raises(ValueError,
+                       match="required when 'mode' is 'merge'"):
+        compile_pipeline(spark, bad)
+    ok = [{"input.Synthetic": {"rows": 10}},
+          {"output.Parquet": {"name": "docs", "mode": "merge",
+                              "merge_key": "doc_id",
+                              "merge_version": "seq"}}]
+    compiled = compile_pipeline(spark, ok)
+    assert compiled.sinks[0].merge_key == "doc_id"

@@ -159,3 +159,71 @@ def test_route_tag_catchall_keeps_regexes_out_of_filters(spark, tok_path):
     b = {(x["sink"], x["n"]) for x in explicit.groupBy("sink")
          .agg(F.sum("n_rows").alias("n")).collect()}
     assert a == b
+
+
+def test_funnel_is_single_exchange(spark):
+    # q89's scale property: the whole K-step funnel partitions the
+    # events exactly ONCE on the user — K chained window passes plus
+    # the per-user and global aggregations all reuse that exchange.
+    # (The round-4 formulation ran K sequential join+count JOBS.)
+    from lumbermill_spark.operators import stats
+
+    ev = spark.createDataFrame(
+        [(i % 7, f"2024-01-01 00:0{i % 6}:00",
+          ["view", "click", "purchase"][i % 3]) for i in range(60)],
+        "user_id long, ts string, event_type string")
+    base = (ev.select(F.col("user_id").alias("u"),
+                      F.unix_timestamp("ts").alias("t"),
+                      F.col("event_type").alias("e"))
+            .where(F.col("e").isin(["view", "click", "purchase"])))
+    from pyspark.sql import Window
+    w = Window.partitionBy("u")
+    cur, prev = base, None
+    for i, step in enumerate(["view", "click", "purchase"]):
+        qual = F.col("e") == step
+        if prev is not None:
+            qual = qual & F.col(prev).isNotNull() & (F.col("t") >= F.col(prev))
+        cur = cur.withColumn(f"_t{i}", F.min(F.when(qual, F.col("t"))).over(w))
+        prev = f"_t{i}"
+    per_user = cur.groupBy("u").agg(
+        *[F.max(f"_t{i}").alias(f"_t{i}") for i in range(3)])
+    final = per_user.agg(*[
+        F.sum(F.when(F.col(f"_t{i}").isNotNull(), 1).otherwise(0)).alias(f"n{i}")
+        for i in range(3)])
+    plan = _plan(final)
+    # exactly one hash-partitioning exchange on u (plus the final
+    # single-partition exchange for the global agg)
+    n_hash_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_hash_exchanges == 1, plan
+    # and the public operator agrees with brute force
+    got = {r["step_name"]: r["n_users"]
+           for r in stats.funnel_counts(ev, ["view", "click", "purchase"],
+                                        user="user_id", ts="ts").collect()}
+    rows = [(r["user_id"], r["ts"], r["event_type"]) for r in ev.collect()]
+    import datetime as _dt
+
+    def brute():
+        from collections import defaultdict
+        by_u = defaultdict(list)
+        for u, ts, e in rows:
+            t = int(_dt.datetime.strptime(ts, "%Y-%m-%d %H:%M:%S")
+                    .replace(tzinfo=_dt.timezone.utc).timestamp())
+            by_u[u].append((t, e))
+        counts = {}
+        for i, step in enumerate(["view", "click", "purchase"]):
+            n = 0
+            for u, evs in by_u.items():
+                frontier = None
+                ok = True
+                for s in ["view", "click", "purchase"][:i + 1]:
+                    cand = [t for t, e2 in sorted(evs)
+                            if e2 == s and (frontier is None or t >= frontier)]
+                    if not cand:
+                        ok = False
+                        break
+                    frontier = min(cand)
+                if ok:
+                    n += 1
+            counts[step] = n
+        return counts
+    assert got == brute()

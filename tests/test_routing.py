@@ -301,3 +301,94 @@ def test_route_and_write_no_persist(spark, tmp_path):
                           persist_level=None)
     assert res["errs"]["rows"] == 20 and res["rest"]["rows"] == 40
     assert spark.read.parquet(str(tmp_path / "errs")).count() == 20
+
+
+def test_merge_mode_sink(spark, tmp_path):
+    # ES 'update' bulk-action analog (ElasticSearch.py:166-194): two
+    # batches with overlapping doc_ids route into a merge-mode sink;
+    # the sink's committed snapshot holds exactly the latest-version
+    # row per doc_id, survives a re-run of the same run_id (resume),
+    # and an uncommitted snapshot dir is ignored (crash before commit).
+    from lumbermill_spark.router import merge_snapshot_path, read_merged
+
+    base = str(tmp_path / "m")
+    spec = [SinkSpec("docs", None, mode="merge",
+                     merge_key="doc_id", merge_version="version")]
+    b1 = spark.createDataFrame(
+        [(1, 1, "a1", 3), (2, 1, "b1", 4), (3, 1, "c1", 5)],
+        "doc_id long, version long, body string, n_tok long")
+    r1 = route_and_write(b1, spec, base, run_id="m1")
+    assert r1["docs"]["rows"] == 3 and r1["docs"]["tokens"] == 12
+    # batch 2: doc 2 updated (v2), doc 3 STALE (v0 loses), doc 4 new
+    b2 = spark.createDataFrame(
+        [(2, 2, "b2", 7), (3, 0, "c0", 9), (4, 1, "d1", 6)],
+        "doc_id long, version long, body string, n_tok long")
+    r2 = route_and_write(b2, spec, base, run_id="m2")
+    assert r2["docs"]["rows"] == 4
+    snap = {r["doc_id"]: (r["version"], r["body"])
+            for r in read_merged(spark, base, "docs").collect()}
+    assert snap == {1: (1, "a1"), 2: (2, "b2"), 3: (1, "c1"), 4: (1, "d1")}
+    # resume: same run_id skips (no double merge)
+    r2b = route_and_write(b2, spec, base, run_id="m2", resume=True)
+    assert r2b["docs"]["skipped"] is True
+    assert read_merged(spark, base, "docs").count() == 4
+    # crash before commit: a bare snapshot dir with no checkpoint row
+    # must NOT become current
+    stale = spark.createDataFrame([(9, 9, "x", 1)],
+                                  "doc_id long, version long, body string, n_tok long")
+    stale.write.mode("overwrite").parquet(f"{base}/docs/snap=crashed")
+    cur = merge_snapshot_path(spark, base, "docs")
+    assert cur is not None and cur.endswith("snap=m2")
+    # next increment merges on top of m2, not the crashed dir
+    b3 = spark.createDataFrame([(1, 5, "a5", 2)],
+                               "doc_id long, version long, body string, n_tok long")
+    route_and_write(b3, spec, base, run_id="m3")
+    snap3 = {r["doc_id"]: r["body"]
+             for r in read_merged(spark, base, "docs").collect()}
+    assert snap3 == {1: "a5", 2: "b2", 3: "c1", 4: "d1"}
+
+
+def test_merge_mode_requires_key_and_version(spark, tmp_path):
+    bad = [SinkSpec("d", None, mode="merge", merge_key="doc_id")]
+    df = spark.createDataFrame([(1, 1)], "doc_id long, version long")
+    with pytest.raises(ValueError, match="merge_key and merge_version"):
+        route_and_write(df, bad, str(tmp_path / "x"), run_id="m")
+
+
+def test_dynamic_path_text_gzip_sink(spark, tmp_path):
+    # output.File / output.WebHdfs path semantics (File.py:113-142,
+    # WebHdfs.py:142): the reference renders "%Y-%m-%d/$(event_type).log"
+    # per event; the scalable equivalent is partition columns, so a
+    # dynamic path template becomes partition_by on derived columns.
+    # Golden: partitioned text+gzip write, then byte-compare one
+    # partition's decompressed payload.
+    import glob
+    import gzip
+
+    df = spark.createDataFrame(
+        [("e1", "click", "2024-03-01 10:00:00", 3),
+         ("e2", "error", "2024-03-01 11:00:00", 5),
+         ("e3", "click", "2024-03-02 09:00:00", 2)],
+        "doc_id string, event_type string, ts string, n_tok int",
+    ).withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    base = str(tmp_path / "dyn")
+    res = route_and_write(
+        df,
+        [SinkSpec("logs", format="text", compression="gzip",
+                  partition_by=["day", "event_type"],
+                  line_format="$(doc_id)|$(n_tok)")],
+        base, run_id="d1",
+    )
+    assert res["logs"]["rows"] == 3
+    part = f"{base}/logs/day=2024-03-01/event_type=click"
+    files = glob.glob(f"{part}/*.txt.gz") or glob.glob(f"{part}/*.gz")
+    assert files, f"no gzip part files under {part}"
+    raw = b"".join(gzip.open(f, "rb").read() for f in sorted(files))
+    assert raw == b"e1|3\n"
+    # the other day partition holds exactly its own row
+    part2 = glob.glob(f"{base}/logs/day=2024-03-02/event_type=click/*.gz")
+    assert b"".join(gzip.open(f, "rb").read()
+                    for f in sorted(part2)) == b"e3|2\n"
+    # spark can read it back partition-pruned
+    back = spark.read.text(f"{base}/logs/day=2024-03-01/event_type=error")
+    assert [r["value"] for r in back.collect()] == ["e2|5"]

@@ -1038,3 +1038,24 @@ def test_fuzzy_prefix_pairs(spark):
     got = dedup.fuzzy_prefix_pairs(edge, prefix_len=20,
                                    max_dist=1).collect()
     assert [(r.id_a, r.id_b, r.dist) for r in got] == [(10, 11, 1)]
+
+
+def test_require_block_guard(spark):
+    # the unblocked all-pairs fallbacks are test-scale only; past the
+    # row limit they must refuse to run rather than go quadratic
+    from lumbermill_spark.training import similarity
+
+    big = spark.range(30).select(F.col("id").alias("doc_id"),
+                                 F.lit("w x y z").alias("text"))
+    with pytest.raises(ValueError, match="block_col is None"):
+        dedup.ngram_jaccard_pairs(big, unblocked_limit=10)
+    emb = spark.range(30).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"))
+    with pytest.raises(ValueError, match="block_col is None"):
+        similarity.near_duplicate_pairs(emb, unblocked_limit=10)
+    # under the limit both still run
+    assert dedup.ngram_jaccard_pairs(big.limit(5), unblocked_limit=10) \
+        .count() >= 0
+    assert similarity.near_duplicate_pairs(
+        emb.limit(5), threshold=0.0, unblocked_limit=10).count() >= 0
