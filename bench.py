@@ -147,6 +147,7 @@ def write_pipeline_once(spark) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_rows = int(os.environ.get("LMS_BENCH_ROWS", "2000000"))
+    load_pre = os.getloadavg()[0]
     calib_pre = calibrate_once()
     spark = get_spark("lms-bench")
 
@@ -197,6 +198,11 @@ def main() -> None:
     # "Load calibration" for the idle reference to compare against)
     out["calib_ops_per_sec"] = round(min(calib_pre, calib_post))
     out["calib_pre_post"] = [round(calib_pre), round(calib_post)]
+    # host 1-min loadavg pre/post: co-tenant MULTI-core load can inflate
+    # wall-times while the single-core probe still reads idle (observed
+    # round 5: a sweep with calib 13.5M ran ~40% slow; loadavg caught it)
+    out["loadavg_pre_post"] = [round(load_pre, 2),
+                               round(os.getloadavg()[0], 2)]
     # Full per-query map → sidecar file + an early stdout line; the
     # compact summary must be the LAST line (driver tail-capture).
     sidecar = dict(out)
