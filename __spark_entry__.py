@@ -3458,6 +3458,42 @@ def _oracle_mad_outliers() -> str:
     """
 
 
+def _q110_hash_split(spark, sf):
+    """Deterministic train/val/test split (sampling.hash_split): each
+    doc lands in the split whose cumulative-weight interval contains
+    md5_hash60(id:salt)/2^60 — reproducible across retries, resumes
+    and cluster sizes (randomSplit is partitioning-dependent; this
+    never is). Zero shuffle on the assignment; the aggregate below is
+    the verification surface."""
+    from lumbermill_spark.training import sampling
+
+    docs = _t(spark, sf, "documents")
+    out = sampling.hash_split(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05})
+    return out.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"))
+
+
+def _oracle_hash_split() -> str:
+    return r"""
+    WITH h AS (
+      SELECT source, n_chars,
+        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'),
+                            1, 15) AS BIGINT) AS hv
+      FROM documents
+    ), s AS (
+      SELECT source, n_chars,
+        CASE WHEN hv < 0.9 * 1152921504606846976.0 THEN 'train'
+             WHEN hv < 0.95 * 1152921504606846976.0 THEN 'val'
+             ELSE 'test' END AS split
+      FROM h)
+    SELECT split, source, count(*) AS n_docs,
+      CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM s GROUP BY split, source
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_simple_stats": _q01_simple_stats,
@@ -3569,6 +3605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_session_paths": _q107_session_paths,
         "q108_association_rules": _q108_association_rules,
         "q109_mad_outliers": _q109_mad_outliers,
+        "q110_hash_split": _q110_hash_split,
     }
 
 
@@ -4252,6 +4289,7 @@ def oracle_sql() -> dict[str, str]:
         "q107_session_paths": _oracle_session_paths(),
         "q108_association_rules": _oracle_association_rules(),
         "q109_mad_outliers": _oracle_mad_outliers(),
+        "q110_hash_split": _oracle_hash_split(),
         "q52_repetition": r"""
             WITH b AS (
               SELECT doc_id,

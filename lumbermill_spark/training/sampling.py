@@ -146,3 +146,42 @@ def token_budget_trim(
     return (df.withColumn("_cum", F.sum(tokens_col).over(w))
             .where(F.col("_cum") <= budget)
             .drop("_cum"))
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row lands in the
+    split whose cumulative-weight interval contains
+    ``md5_hash60(id:salt) / 2^60`` — the standard reproducible eval
+    split. Disjoint and exhaustive by construction; the same
+    (id, salt) always lands in the same split across retries, resumes
+    and cluster sizes (never ``randomSplit``, which is
+    partitioning-dependent), and changing ``salt`` redraws
+    independently. Pure-JVM hash + chained comparisons: zero shuffle,
+    embarrassingly parallel, and bit-replayable outside Spark (the
+    DuckDB twin uses the same md5 interval arithmetic).
+
+    ``weights``: {split_name: weight}, weights > 0, normalized
+    internally (pass {"train": 0.98, "val": 0.01, "test": 0.01}).
+    """
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be non-empty and positive")
+    total = float(sum(weights.values()))
+    key = F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt))
+    u = md5_hash60(key)
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name] / total
+        cond = u < F.lit(cum * TWO_POW_60)
+        expr = (F.when(cond, F.lit(name)) if expr is None
+                else expr.when(cond, F.lit(name)))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)

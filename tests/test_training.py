@@ -1059,3 +1059,34 @@ def test_require_block_guard(spark):
         .count() >= 0
     assert similarity.near_duplicate_pairs(
         emb.limit(5), threshold=0.0, unblocked_limit=10).count() >= 0
+
+
+def test_hash_split(spark):
+    from lumbermill_spark.training import sampling
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    out = sampling.hash_split(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    rows = out.collect()
+    # exhaustive + disjoint by construction: one split per row
+    counts = {}
+    for r in rows:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    assert set(counts) <= {"train", "val", "test"}
+    assert sum(counts.values()) == 2000
+    # proportions near the weights (hash-uniform; generous tolerance)
+    assert 0.7 < counts["train"] / 2000 < 0.9
+    # deterministic: same salt -> identical assignment; new salt differs
+    again = {r["doc_id"]: r["split"]
+             for r in sampling.hash_split(
+                 df, {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    first = {r["doc_id"]: r["split"] for r in rows}
+    assert again == first
+    other = {r["doc_id"]: r["split"]
+             for r in sampling.hash_split(
+                 df, {"train": 0.8, "val": 0.1, "test": 0.1},
+                 salt="s2").collect()}
+    assert other != first
+    with pytest.raises(ValueError, match="positive"):
+        sampling.hash_split(df, {"train": 0.9, "val": -0.1})
+    with pytest.raises(ValueError, match="positive"):
+        sampling.hash_split(df, {})
