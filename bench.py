@@ -205,12 +205,14 @@ def main() -> None:
                                round(os.getloadavg()[0], 2)]
     # Full per-query map → sidecar file + an early stdout line; the
     # compact summary must be the LAST line (driver tail-capture).
-    sidecar = dict(out)
-    sidecar["queries"] = query_secs
-    sidecar_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_QUERIES.json")
-    with open(sidecar_path, "w") as f:
-        json.dump(sidecar, f, indent=1, sort_keys=True)
+    if query_secs:  # don't clobber the sidecar on SKIP_QUERIES spot runs
+        sidecar = dict(out)
+        sidecar["queries"] = query_secs
+        sidecar_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_QUERIES.json")
+        with open(sidecar_path, "w") as f:
+            json.dump(sidecar, f, indent=1, sort_keys=True)
     print(json.dumps({"queries": query_secs}))
     print(json.dumps(out))
 
