@@ -3494,6 +3494,51 @@ def _oracle_hash_split() -> str:
     """
 
 
+def _q111_blocklist_filter(spark, sf):
+    """RefinedWeb-style domain-blocklist filter: rows whose host's
+    REGISTRABLE domain (multi-label public suffixes honored, so
+    m3.click.co.uk matches a click.co.uk entry) appears in the
+    blocklist are dropped via ONE broadcast anti equi-join — never a
+    per-entry LIKE scan (at a 100k-entry blocklist that is the
+    difference between a broadcast hash join and a nested loop)."""
+    from lumbermill_spark.operators.enrichers import blocklist_filter
+
+    ev = _t(spark, sf, "events")
+    host = F.concat(
+        F.lit("m"), F.pmod(F.col("user_id"), F.lit(5)).cast("string"),
+        F.lit("."), F.col("event_type"),
+        F.when(F.pmod(F.col("event_id"), F.lit(2)) == 0,
+               F.lit(".co.uk")).otherwise(F.lit(".org")),
+    )
+    bl = spark.createDataFrame([("click.co.uk",), ("ERROR.org",)],
+                               "domain string")
+    out = blocklist_filter(ev.select(host.alias("host")), bl, "host")
+    return out.groupBy("host").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def _oracle_blocklist_filter() -> str:
+    from lumbermill_spark.operators.enrichers import MULTI_SUFFIXES
+
+    multi = ", ".join(f"'{s}'" for s in MULTI_SUFFIXES)
+    return f"""
+    WITH h AS (
+      SELECT 'm' || CAST(user_id % 5 AS VARCHAR) || '.' || event_type ||
+        CASE WHEN event_id % 2 = 0 THEN '.co.uk' ELSE '.org' END AS host
+      FROM events
+    ), r AS (
+      SELECT host, string_split(host, '.') AS l FROM h
+    ), g AS (
+      SELECT host,
+        CASE WHEN l[len(l)-1] || '.' || l[len(l)] IN ({multi})
+             THEN l[len(l)-2] || '.' || l[len(l)-1] || '.' || l[len(l)]
+             ELSE l[len(l)-1] || '.' || l[len(l)] END AS reg
+      FROM r)
+    SELECT host, count(*) AS n_rows FROM g
+    WHERE reg NOT IN ('click.co.uk', 'error.org')
+    GROUP BY host
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_simple_stats": _q01_simple_stats,
@@ -3606,6 +3651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q108_association_rules": _q108_association_rules,
         "q109_mad_outliers": _q109_mad_outliers,
         "q110_hash_split": _q110_hash_split,
+        "q111_blocklist_filter": _q111_blocklist_filter,
     }
 
 
@@ -4290,6 +4336,7 @@ def oracle_sql() -> dict[str, str]:
         "q108_association_rules": _oracle_association_rules(),
         "q109_mad_outliers": _oracle_mad_outliers(),
         "q110_hash_split": _oracle_hash_split(),
+        "q111_blocklist_filter": _oracle_blocklist_filter(),
         "q52_repetition": r"""
             WITH b AS (
               SELECT doc_id,

@@ -67,6 +67,39 @@ def split_domain(
     )
 
 
+def blocklist_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    source_field: str,
+    invert: bool = False,
+) -> DataFrame:
+    """Domain-blocklist document filter (the RefinedWeb/CCNet curation
+    step): a row is blocked when the REGISTRABLE domain of its host
+    column — domain + public suffix per :func:`split_domain`, so
+    ``ads.tracker.co.uk`` matches a ``tracker.co.uk`` entry — appears
+    in ``blocklist`` (one ``domain`` column of registrable domains).
+
+    Plan shape: derive the registrable domain as pure column
+    expressions, then ONE broadcast left-anti (or left-semi with
+    ``invert=True``) equi-join. Never a ``LIKE '%.domain'`` scan per
+    blocklist entry — at a 100k-entry blocklist that would be a
+    nested-loop join; the equi-join stays a broadcast hash join at any
+    corpus size. Blocklists are broadcast-small by construction (same
+    contract as geo_enrich). Returns df's columns unchanged, filtered
+    to kept (or, inverted, blocked) rows.
+    """
+    tmp = split_domain(df, source_field, prefix="_bl_")
+    reg = F.when(
+        F.col("_bl_domain") != "",
+        F.concat_ws(".", F.col("_bl_domain"), F.col("_bl_tld")),
+    ).otherwise(F.lower(F.trim(F.col(source_field))))
+    tmp = tmp.withColumn("_bl_reg", reg)
+    bl = blocklist.select(F.lower(F.trim(F.col("domain"))).alias("_bl_reg"))
+    how = "left_semi" if invert else "left_anti"
+    out = tmp.join(F.broadcast(bl), on="_bl_reg", how=how)
+    return out.drop("_bl_reg", "_bl_tld", "_bl_domain", "_bl_subdomain")
+
+
 # --------------------------------------------------------------------- #
 # user agent
 

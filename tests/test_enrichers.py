@@ -206,3 +206,29 @@ def test_asof_join_null_dim_field_not_inherited(spark):
         "k string, valid_from int, release string, region string")
     row = asof_join(facts, dims, on="k", ts="t").collect()[0]
     assert row.region == "west" and row.release is None
+
+
+def test_blocklist_filter(spark):
+    from lumbermill_spark.operators.enrichers import blocklist_filter
+
+    df = spark.createDataFrame(
+        [(1, "ads.tracker.co.uk"),     # subdomain of blocked multi-suffix
+         (2, "tracker.co.uk"),         # exact blocked registrable
+         (3, "news.tracker.org"),      # different TLD -> kept
+         (4, "m1.shop.com"),           # kept
+         (5, "SPAM.example.COM"),      # blocked case-insensitively
+         (6, "localhost")],            # no dot: matches bare entry only
+        "id long, host string")
+    bl = spark.createDataFrame(
+        [("tracker.co.uk",), ("Example.com",)], "domain string")
+    kept = sorted(r["id"] for r in blocklist_filter(df, bl, "host").collect())
+    assert kept == [3, 4, 6]
+    blocked = sorted(r["id"] for r in
+                     blocklist_filter(df, bl, "host", invert=True).collect())
+    assert blocked == [1, 2, 5]
+    # columns pass through unchanged
+    assert blocklist_filter(df, bl, "host").columns == ["id", "host"]
+    # bare-host entry blocks the dotless host
+    bl2 = spark.createDataFrame([("localhost",)], "domain string")
+    assert sorted(r["id"] for r in
+                  blocklist_filter(df, bl2, "host").collect()) == [1, 2, 3, 4, 5]
