@@ -3539,6 +3539,59 @@ def _oracle_blocklist_filter() -> str:
     """
 
 
+def _q112_token_contamination(spark, sf):
+    """TOKEN-level benchmark decontamination over the pre-tokenized
+    sequence table (the graft's native payload — no detokenize
+    round-trip): per train sequence, distinct token-8-grams shared with
+    the eval inventory (every 97th sequence), aggregated per source.
+    Gram keys are comma-joined token slices built JVM-side; the eval
+    inventory distinct is broadcast by AQE at runtime. The twin replays
+    the grams as ascii codes of character 8-grams of the same log
+    lines (byte tokenization makes them identical by construction)."""
+    from lumbermill_spark.training import tokenize
+
+    tok = _events_token_table(spark, sf)
+    eid = F.substring("doc_id", 5, 12).cast("long")
+    eval_df = tok.filter(F.pmod(eid, F.lit(97)) == 0)
+    out = tokenize.token_contamination(tok, eval_df, n=8)
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_seqs"),
+        F.sum("n_grams").cast("long").alias("sum_grams"),
+        F.sum("n_contaminated").cast("long").alias("sum_contaminated"),
+        F.sum(F.when(F.col("n_contaminated") > 0, 1).otherwise(0))
+        .cast("long").alias("n_contaminated_seqs"))
+
+
+def _oracle_token_contamination() -> str:
+    return rf"""
+    WITH tok AS (
+      SELECT event_id, event_type AS source, {_SQL_TOK_LINE} AS line
+      FROM events
+    ), tg AS (
+      SELECT t.event_id, t.source,
+        array_to_string(list_transform(generate_series(i.i, i.i + 7),
+                                       j -> ascii(substr(t.line, j, 1))),
+                        ',') AS g
+      FROM tok t,
+        unnest(generate_series(1, greatest(length(t.line) - 7, 0))) AS i(i)
+    ), tgd AS (
+      SELECT DISTINCT event_id, source, g FROM tg
+    ), eg AS (
+      SELECT DISTINCT g FROM tg WHERE event_id % 97 = 0
+    ), per AS (
+      SELECT d.event_id, d.source, count(*) AS n_grams,
+        count(e.g) AS n_hit
+      FROM tgd d LEFT JOIN eg e USING (g)
+      GROUP BY d.event_id, d.source)
+    SELECT source, count(*) AS n_seqs,
+      CAST(sum(n_grams) AS BIGINT) AS sum_grams,
+      CAST(sum(n_hit) AS BIGINT) AS sum_contaminated,
+      CAST(count(*) FILTER (WHERE n_hit > 0) AS BIGINT)
+        AS n_contaminated_seqs
+    FROM per GROUP BY source
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_simple_stats": _q01_simple_stats,
@@ -3652,6 +3705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q109_mad_outliers": _q109_mad_outliers,
         "q110_hash_split": _q110_hash_split,
         "q111_blocklist_filter": _q111_blocklist_filter,
+        "q112_token_contamination": _q112_token_contamination,
     }
 
 
@@ -4337,6 +4391,7 @@ def oracle_sql() -> dict[str, str]:
         "q109_mad_outliers": _oracle_mad_outliers(),
         "q110_hash_split": _oracle_hash_split(),
         "q111_blocklist_filter": _oracle_blocklist_filter(),
+        "q112_token_contamination": _oracle_token_contamination(),
         "q52_repetition": r"""
             WITH b AS (
               SELECT doc_id,

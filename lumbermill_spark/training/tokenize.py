@@ -257,3 +257,60 @@ def inverted_index(df: DataFrame, text_col: str = "text",
                      ",").alias("postings"))
             .select("term", F.col("dfreq").cast("bigint").alias("dfreq"),
                     "postings"))
+
+
+def token_ngrams(tokens, n: int):
+    """array<int> -> array<string> of comma-joined token n-grams
+    (pure JVM: sequence → slice → array_join). Empty for sequences
+    shorter than n."""
+    size = F.size(tokens)
+    return F.when(
+        size >= n,
+        F.transform(
+            F.sequence(F.lit(1), size - n + 1),
+            lambda i: F.array_join(F.slice(tokens, i, n), ","),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def token_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    n: int = 8,
+    round_to: int = 6,
+) -> DataFrame:
+    """TOKEN-level benchmark decontamination (the q59 text pass run
+    directly on pre-tokenized sequences — no detokenize round-trip):
+    per train sequence, how many of its DISTINCT token n-grams appear
+    anywhere in the eval set's n-gram inventory (both numerator and
+    denominator are distinct-gram counts, q59's semantics).
+
+    Plan: both sides explode token n-grams as comma-joined keys (pure
+    JVM sequence/slice/array_join — the arrays never ride a shuffle);
+    the eval inventory is distinct'd (eval sets are small — AQE
+    broadcasts it at runtime) and hit counts come from one equi-join +
+    count(distinct gram). Sequences with zero hits survive via the
+    arithmetic n_grams column + left join — no anti-join second pass.
+    Output: (id, source?, n_grams, n_contaminated, contaminated_frac).
+    """
+    grams = token_ngrams(F.col(tokens_col), n)
+    keep = [c for c in ("source",) if c in train.columns]
+    base = train.select(
+        F.col(id_col), *[F.col(c) for c in keep],
+        F.size(F.array_distinct(grams)).cast("long").alias("n_grams"))
+    tg = train.select(F.col(id_col), F.explode(grams).alias("_g"))
+    eg = eval_df.select(F.explode(
+        token_ngrams(F.col(tokens_col), n)).alias("_g")).distinct()
+    hits = (tg.join(eg, on="_g")
+            .groupBy(id_col)
+            .agg(F.count_distinct("_g").alias("_hit")))
+    out = (base.join(hits, on=id_col, how="left")
+           .withColumn("n_contaminated",
+                       F.coalesce(F.col("_hit"), F.lit(0)).cast("long"))
+           .drop("_hit"))
+    frac = F.when(F.col("n_grams") > 0,
+                  F.col("n_contaminated").cast("double") / F.col("n_grams")
+                  ).otherwise(F.lit(0.0))
+    return out.withColumn("contaminated_frac", F.round(frac, round_to))

@@ -180,3 +180,28 @@ def test_inverted_index(spark):
     assert out["x"] == (3, "1,2")
     assert out["y"] == (2, "1,3")
     assert out["z"] == (1, "2")
+
+
+def test_token_contamination(spark):
+    from pyspark.sql import functions as F
+
+    from lumbermill_spark.training.tokenize import token_contamination
+
+    train = spark.createDataFrame(
+        [(1, [1, 2, 3, 4, 5], "a"),       # grams (n=3): 123,234,345
+         (2, [9, 9, 9, 9], "a"),          # grams: 999,999 -> distinct 1
+         (3, [3, 4, 5, 6], "b"),          # grams: 345,456
+         (4, [7], "b")],                  # too short -> 0 grams
+        "doc_id long, tokens array<int>, source string")
+    ev = spark.createDataFrame(
+        [(100, [2, 3, 4, 5, 6])],         # grams: 234,345,456
+        "doc_id long, tokens array<int>")
+    out = {r["doc_id"]: r for r in
+           token_contamination(train, ev, n=3).collect()}
+    assert out[1]["n_grams"] == 3 and out[1]["n_contaminated"] == 2
+    assert abs(out[1]["contaminated_frac"] - 2 / 3) < 1e-6
+    assert out[2]["n_grams"] == 1 and out[2]["n_contaminated"] == 0
+    assert out[3]["n_grams"] == 2 and out[3]["n_contaminated"] == 2
+    assert out[3]["contaminated_frac"] == 1.0
+    assert out[4]["n_grams"] == 0 and out[4]["contaminated_frac"] == 0.0
+    assert out[1]["source"] == "a"   # passthrough column kept
