@@ -3592,6 +3592,34 @@ def _oracle_token_contamination() -> str:
     """
 
 
+def _q113_epoch_shuffle(spark, sf):
+    """Epoch-stable deterministic shuffle order (sampling.
+    epoch_shuffle_key): the first 20 documents of epoch 1's permutation
+    plus each one's epoch-2 key — identical across retries/resumes/
+    cluster sizes, independent across epochs. The top-k is a
+    TakeOrderedAndProject (no global sort/rank); at scale the order is
+    materialized with repartitionByRange + sortWithinPartitions."""
+    from lumbermill_spark.training import sampling
+
+    docs = _t(spark, sf, "documents")
+    k1 = sampling.epoch_shuffle_key(docs, epoch=1, key_col="k1")
+    k2 = sampling.epoch_shuffle_key(k1, epoch=2, key_col="k2")
+    return (k2.orderBy("k1", "doc_id").limit(20)
+            .select("doc_id", "source", "k1", "k2"))
+
+
+def _oracle_epoch_shuffle() -> str:
+    return r"""
+    SELECT doc_id, source,
+      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':1:shuffle'),
+                          1, 15) AS BIGINT) AS k1,
+      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':2:shuffle'),
+                          1, 15) AS BIGINT) AS k2
+    FROM documents
+    ORDER BY k1, doc_id LIMIT 20
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_simple_stats": _q01_simple_stats,
@@ -3706,6 +3734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q110_hash_split": _q110_hash_split,
         "q111_blocklist_filter": _q111_blocklist_filter,
         "q112_token_contamination": _q112_token_contamination,
+        "q113_epoch_shuffle": _q113_epoch_shuffle,
     }
 
 
@@ -4392,6 +4421,7 @@ def oracle_sql() -> dict[str, str]:
         "q110_hash_split": _oracle_hash_split(),
         "q111_blocklist_filter": _oracle_blocklist_filter(),
         "q112_token_contamination": _oracle_token_contamination(),
+        "q113_epoch_shuffle": _oracle_epoch_shuffle(),
         "q52_repetition": r"""
             WITH b AS (
               SELECT doc_id,

@@ -185,3 +185,27 @@ def hash_split(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, expr)
+
+
+def epoch_shuffle_key(
+    df: DataFrame,
+    epoch: int,
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+    key_col: str = "shuffle_key",
+) -> DataFrame:
+    """Epoch-stable deterministic global shuffle ORDER for training
+    data: adds ``key_col`` = md5_hash60(id:epoch:salt). Sorting by
+    (key, id) is a uniform permutation that is identical across
+    retries, resumes and cluster sizes (``df.orderBy(rand())`` is
+    none of those), and each epoch draws an independent permutation.
+
+    Scale contract: this adds the KEY only — materialize the order
+    with ``repartitionByRange(key_col, id_col)`` +
+    ``sortWithinPartitions`` at write time (a range-partitioned sort,
+    no single-reducer global rank). A row_number rank over the whole
+    table would be a one-partition window; don't.
+    """
+    key = F.concat_ws(":", F.col(id_col).cast("string"),
+                      F.lit(str(int(epoch))), F.lit(salt))
+    return df.withColumn(key_col, md5_hash60(key))

@@ -1090,3 +1090,23 @@ def test_hash_split(spark):
         sampling.hash_split(df, {"train": 0.9, "val": -0.1})
     with pytest.raises(ValueError, match="positive"):
         sampling.hash_split(df, {})
+
+
+def test_epoch_shuffle_key(spark):
+    from lumbermill_spark.training import sampling
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    e1 = {r["doc_id"]: r["shuffle_key"] for r in
+          sampling.epoch_shuffle_key(df, epoch=1).collect()}
+    # deterministic across invocations
+    e1b = {r["doc_id"]: r["shuffle_key"] for r in
+           sampling.epoch_shuffle_key(df, epoch=1).collect()}
+    assert e1 == e1b
+    # epochs draw independent permutations
+    e2 = {r["doc_id"]: r["shuffle_key"] for r in
+          sampling.epoch_shuffle_key(df, epoch=2).collect()}
+    order1 = sorted(e1, key=lambda d: (e1[d], d))
+    order2 = sorted(e2, key=lambda d: (e2[d], d))
+    assert order1 != order2
+    # roughly uniform: no key collisions at this size
+    assert len(set(e1.values())) == 500
