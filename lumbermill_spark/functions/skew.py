@@ -125,3 +125,27 @@ def ensure_min_parallelism(
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def write_bucketed(df, table: str, key: str | list[str],
+                   buckets: int = 64, sort: bool = True,
+                   mode: str = "overwrite") -> None:
+    """Persist ``df`` as a BUCKETED (and bucket-sorted) table on its
+    join/aggregation key — the co-located-join primitive: two tables
+    bucketed the same way join with ZERO exchanges (locked by
+    tests/test_plans.py::test_bucketed_join_is_shuffle_free), and a
+    groupBy on the key skips its exchange too. This is what turns a
+    repeated big-big join (fact x fact on doc_id at 100 TB) from a
+    per-query shuffle of both sides into a one-time layout cost at
+    ingest. Parquet/Hive bucketing here; with the Iceberg runtime the
+    same layout is ``bucket(N, key)`` in ``partitionedBy`` (iceberg.py)
+    and the co-location survives catalog round-trips.
+
+    ``buckets`` sizes task parallelism for every downstream co-located
+    stage — pick ~2-4x executor-core count at the target scale.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    w = df.write.bucketBy(buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    w.mode(mode).format("parquet").saveAsTable(table)

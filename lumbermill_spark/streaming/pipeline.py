@@ -304,3 +304,41 @@ def run_routed(
     if available_now:
         q.awaitTermination()
     return q
+
+
+def run_merged(
+    df: DataFrame,
+    sink,
+    base: str,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Streaming SCD-1 ingestion into a merge-mode sink: each
+    micro-batch merges into the sink's latest committed snapshot
+    (router merge mode — the streaming form of the ES 'update' bulk
+    action). Exactly-once without transactions: the stream checkpoint
+    dedups source replays, and the batch run_id IS the batch_id, so a
+    replayed foreachBatch (possible after a crash between the sink
+    commit and the stream commit) is skipped by the router's
+    committed-sinks check instead of double-merging. Restarting the
+    query against the same checkpoint processes only new source files
+    and merges them on top of the surviving snapshot.
+    """
+    from lumbermill_spark.router import route_and_write
+
+    if sink.mode != "merge":
+        raise ValueError("run_merged requires a mode='merge' SinkSpec")
+
+    def write_batch(batch_df: DataFrame, batch_id: int):
+        route_and_write(batch_df, [sink], base,
+                        run_id=f"b{batch_id:012d}", resume=True)
+
+    q = (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=available_now)
+        .start()
+    )
+    if available_now:
+        q.awaitTermination()
+    return q

@@ -227,3 +227,34 @@ def test_funnel_is_single_exchange(spark):
             counts[step] = n
         return counts
     assert got == brute()
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    # co-located join: two tables bucketed on the same key join with
+    # ZERO exchanges (the bucket layout IS the shuffle, paid once at
+    # ingest) — the big-big fact-join strategy at 100 TB. Broadcast is
+    # disabled so the test proves bucketing, not small-table luck.
+    from lumbermill_spark.functions.skew import write_bucketed
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(20000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+        b = spark.range(20000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+        write_bucketed(a, "bk_a", "k", buckets=8)
+        write_bucketed(b, "bk_b", "k", buckets=8)
+        j = spark.table("bk_a").join(spark.table("bk_b"), "k")
+        assert j.count() == 20000
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # the same bucket layout also feeds a shuffle-free aggregation
+        g = spark.table("bk_a").groupBy("k").agg(F.sum("va").alias("s"))
+        g.collect()
+        assert "Exchange" not in _plan(g)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")

@@ -197,3 +197,38 @@ def test_stream_dedup_exact(spark, tmp_path):
         sp.dedup_stream(stream, ts_col="ts", watermark="5 minutes"),
         out2, str(tmp_path / "ck2"))
     assert spark.read.parquet(out2).count() == 3
+
+
+def test_stream_merge_sink(spark, tmp_path):
+    # streaming SCD-1 ingestion: two source files arriving across two
+    # stream RESTARTS merge into one latest-version snapshot; the
+    # checkpoint ensures the second run processes only the new file.
+    from lumbermill_spark.router import SinkSpec, read_merged
+
+    src = tmp_path / "src"
+    base = str(tmp_path / "m")
+    ckpt = str(tmp_path / "ck")
+    spec = SinkSpec("docs", None, mode="merge",
+                    merge_key="doc_id", merge_version="version")
+    schema = "doc_id long, version long, body string"
+    spark.createDataFrame(
+        [(1, 1, "a1"), (2, 1, "b1")], schema
+    ).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    sp.run_merged(stream, spec, base, ckpt)
+    snap1 = {r["doc_id"]: r["body"]
+             for r in read_merged(spark, base, "docs").collect()}
+    assert snap1 == {1: "a1", 2: "b1"}
+    # second file: update doc 2 (v2), stale doc 1 (v0), new doc 3
+    spark.createDataFrame(
+        [(2, 2, "b2"), (1, 0, "a0"), (3, 1, "c1")], schema
+    ).write.mode("append").parquet(str(src))
+    stream2 = spark.readStream.schema(schema).parquet(str(src))
+    sp.run_merged(stream2, spec, base, ckpt)
+    snap2 = {r["doc_id"]: (r["version"], r["body"])
+             for r in read_merged(spark, base, "docs").collect()}
+    assert snap2 == {1: (1, "a1"), 2: (2, "b2"), 3: (1, "c1")}
+    # non-merge spec is rejected
+    import pytest as _pt
+    with _pt.raises(ValueError, match="mode='merge'"):
+        sp.run_merged(stream2, SinkSpec("x", None), base, ckpt)
