@@ -118,9 +118,18 @@ def main() -> None:
     docs = docs.join(sampled_ids, on="doc_id", how="left")
     keep = keep & F.col("_in_mix").isNotNull()
 
+    # 6b. deterministic train/val/test assignment + an epoch-1 shuffle
+    # key (write-time order = repartitionByRange(shuffle_key) +
+    # sortWithinPartitions; never a global rank). Both are pure-hash:
+    # the same doc lands in the same split and the same epoch order on
+    # every rerun, resume, and cluster size.
+    docs = sampling.hash_split(
+        docs, {"train": 0.98, "val": 0.01, "test": 0.01})
+    docs = sampling.epoch_shuffle_key(docs, epoch=1)
+
     sinks = [
         SinkSpec("kept", keep, path=f"{base}/kept",
-                 partition_by=["source"]),
+                 partition_by=["split", "source"]),
         SinkSpec("dropped", ~keep, path=f"{base}/dropped",
                  columns=["doc_id", "source", "lang_pred", "quality",
                           "dsir_log_weight"]),

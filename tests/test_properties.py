@@ -399,3 +399,32 @@ def test_snapshot_diff_matches_bruteforce(spark, old, new):
             assert got[k] == "unchanged"
         else:
             assert got[k] == "changed"
+
+
+_tokseq = st.lists(st.integers(min_value=0, max_value=5),
+                   min_size=0, max_size=12)
+
+
+@given(st.lists(_tokseq, min_size=1, max_size=10),
+       st.lists(_tokseq, min_size=1, max_size=4))
+@SET
+def test_token_contamination_matches_bruteforce(spark, train, evals):
+    from lumbermill_spark.training.tokenize import token_contamination
+
+    n = 3
+    t = spark.createDataFrame(
+        [(i, seq) for i, seq in enumerate(train)],
+        "doc_id long, tokens array<int>")
+    e = spark.createDataFrame(
+        [(i, seq) for i, seq in enumerate(evals)],
+        "doc_id long, tokens array<int>")
+    got = {r["doc_id"]: (r["n_grams"], r["n_contaminated"])
+           for r in token_contamination(t, e, n=n).collect()}
+
+    def grams(seq):
+        return {tuple(seq[i:i + n]) for i in range(len(seq) - n + 1)}
+
+    inventory = set().union(*(grams(s) for s in evals)) if evals else set()
+    for i, seq in enumerate(train):
+        g = grams(seq)
+        assert got[i] == (len(g), len(g & inventory)), (i, seq)
