@@ -3620,6 +3620,69 @@ def _oracle_epoch_shuffle() -> str:
     """
 
 
+def _q114_audio_features(spark, sf):
+    """Multimodal AUDIO decode as a first-class oracle-checked op (the
+    audio leg beside q55 image / q62 video): PCM16 WAVs synthesized
+    in-query from events columns (bundled pure-stdlib codec,
+    functions/wav_lite), decoded by multimodal.decode_audio. Every
+    feature is exact-integer or deterministic-IEEE (rms =
+    sqrt(exact_int_sum_sq / n)), so the DuckDB twin re-derives them
+    structurally from the same sample formula (q41/q50/q55 recipe —
+    WAV itself is not SQL-expressible, the field values still
+    hash-check)."""
+    from lumbermill_spark.training import multimodal
+
+    ev = _t(spark, sf, "events").filter(F.col("event_id") < 300)
+
+    @F.pandas_udf("binary")
+    def _wav(eid: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from lumbermill_spark.functions.wav_lite import encode_wav
+        out = []
+        for e in eid:
+            e = int(e)
+            n = 64 + (e % 5) * 16
+            i = np.arange(n, dtype=np.int64)
+            s = ((e * 7919 + i * 2531) % 20001 - 10000).astype(np.int16)
+            out.append(encode_wav(s, 8000))
+        return pd.Series(out)
+
+    media = ev.select(
+        F.col("event_id").cast("string").alias("media_id"),
+        _wav(F.col("event_id")).alias("payload"))
+    feats = multimodal.decode_audio(media)
+    return feats.select("media_id", "sample_rate", "n_samples",
+                        "duration_ms", "rms", "peak", "zero_cross")
+
+
+def _oracle_audio_features() -> str:
+    # s(e, i) = ((e*7919 + i*2531) % 20001) - 10000 — all operands
+    # nonnegative, so Python %, numpy %, and DuckDB % agree
+    return r"""
+    WITH e AS (
+      SELECT event_id AS eid, 64 + (event_id % 5) * 16 AS n
+      FROM events WHERE event_id < 300
+    ), s AS (
+      SELECT eid, n, i.i AS i,
+        ((eid * 7919 + i.i * 2531) % 20001) - 10000 AS v
+      FROM e, unnest(generate_series(0, n - 1)) AS i(i)
+    ), s2 AS (
+      SELECT eid, n, i, v,
+        lag(v) OVER (PARTITION BY eid ORDER BY i) AS pv
+      FROM s)
+    SELECT CAST(eid AS VARCHAR) AS media_id,
+      CAST(8000 AS INTEGER) AS sample_rate,
+      CAST(any_value(n) AS BIGINT) AS n_samples,
+      CAST(any_value(n) * 1000 // 8000 AS BIGINT) AS duration_ms,
+      sqrt(CAST(sum(v * v) AS BIGINT) * 1.0 / any_value(n)) AS rms,
+      CAST(max(abs(v)) AS INTEGER) AS peak,
+      CAST(count(*) FILTER (WHERE pv IS NOT NULL AND v * pv < 0)
+           AS BIGINT) AS zero_cross
+    FROM s2 GROUP BY eid
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_simple_stats": _q01_simple_stats,
@@ -3735,6 +3798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q111_blocklist_filter": _q111_blocklist_filter,
         "q112_token_contamination": _q112_token_contamination,
         "q113_epoch_shuffle": _q113_epoch_shuffle,
+        "q114_audio_features": _q114_audio_features,
     }
 
 
@@ -4422,6 +4486,7 @@ def oracle_sql() -> dict[str, str]:
         "q111_blocklist_filter": _oracle_blocklist_filter(),
         "q112_token_contamination": _oracle_token_contamination(),
         "q113_epoch_shuffle": _oracle_epoch_shuffle(),
+        "q114_audio_features": _oracle_audio_features(),
         "q52_repetition": r"""
             WITH b AS (
               SELECT doc_id,

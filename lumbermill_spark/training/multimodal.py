@@ -305,3 +305,70 @@ def ahash(df: DataFrame, hash_size: int = 8) -> DataFrame:
             })
 
     return df.mapInPandas(run, AHASH_SCHEMA)
+
+
+AUDIO_FEATURES = T.StructType([
+    T.StructField("media_id", T.StringType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("duration_ms", T.LongType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("peak", T.IntegerType()),
+    T.StructField("zero_cross", T.LongType()),
+])
+
+
+def decode_audio(df: DataFrame) -> DataFrame:
+    """payload (RIFF/WAVE PCM16 bytes) → typed audio features via
+    mapInPandas — the audio leg of the multimodal suite (image:
+    :func:`decode_images`, video: :func:`sample_frames`). REAL codec,
+    zero stubs: the bundled pure-stdlib parser
+    (:mod:`lumbermill_spark.functions.wav_lite`) decodes the supported
+    PCM16 subset in any runtime; unsupported payloads yield a null
+    feature row (never a wrong one).
+
+    Features per clip — all exact integer/float arithmetic over the
+    int16 samples (numpy, vectorized; no per-sample Python):
+    rms (root mean square — the sum of squares accumulates as an EXACT
+    int64, so rms = sqrt(sum_sq/n) is a deterministic IEEE
+    divide+sqrt over exact integers and replays bit-identically in any
+    engine; float-mean accumulation order would not), peak (max |sample|),
+    zero_cross (count of adjacent pairs with strictly opposite signs,
+    s[i-1]*s[i] < 0 — the standard simple ZCR; zeros never count;
+    multi-channel counts the interleaved stream). duration_ms is
+    floor(n_samples * 1000 / rate) — integer, so it replays bit-exactly
+    in any engine.
+    """
+    import numpy as np
+
+    from lumbermill_spark.functions import wav_lite
+
+    def _one(payload: bytes):
+        try:
+            rate, channels, s = wav_lite.parse_wav(payload)
+        except wav_lite.WavError:
+            return (None, None, None, None, None, None, None)
+        n = len(s) // channels if channels else 0
+        if len(s) == 0:
+            return (rate, channels, 0, 0, 0.0, 0, 0)
+        w = s.astype(np.int64)
+        sum_sq = int(np.sum(w * w))             # exact: n*32767^2 << 2^63
+        rms = float(np.sqrt(sum_sq / len(w)))
+        peak = int(np.max(np.abs(w)))
+        zc = int(np.count_nonzero(w[1:] * w[:-1] < 0))
+        return (rate, channels, n, n * 1000 // rate if rate else 0,
+                rms, peak, zc)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_one(bytes(p)) if p is not None
+                     else (None,) * 7 for p in pdf["payload"]]
+            out = pd.DataFrame(
+                feats, columns=["sample_rate", "channels", "n_samples",
+                                "duration_ms", "rms", "peak",
+                                "zero_cross"])
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return df.mapInPandas(run, AUDIO_FEATURES)

@@ -1110,3 +1110,47 @@ def test_epoch_shuffle_key(spark):
     assert order1 != order2
     # roughly uniform: no key collisions at this size
     assert len(set(e1.values())) == 500
+
+
+def test_wav_roundtrip_and_decode_audio(spark):
+    import numpy as np
+
+    from lumbermill_spark.functions import wav_lite
+
+    # codec roundtrip, incl. a trailing extra chunk (real files have them)
+    s = np.array([0, 1000, -1000, 2000, -2000, 0], dtype=np.int16)
+    payload = wav_lite.encode_wav(s, 8000)
+    payload_extra = payload + b"LIST\x04\x00\x00\x00INFO"
+    for p in (payload, payload_extra):
+        rate, ch, back = wav_lite.parse_wav(p)
+        assert (rate, ch) == (8000, 1)
+        assert np.array_equal(back, s)
+    assert wav_lite.probe(payload)["duration_s"] == pytest.approx(6 / 8000)
+    with pytest.raises(wav_lite.WavError, match="RIFF"):
+        wav_lite.parse_wav(b"not a wav at all, definitely not....")
+
+    # operator features vs hand computation
+    df = spark.createDataFrame(
+        [("a", bytearray(payload)),
+         ("bad", bytearray(b"PK\x03\x04 garbage garbage garbage garbage")),
+         ("n", None)],
+        "media_id string, payload binary")
+    from lumbermill_spark.training.multimodal import decode_audio
+
+    got = {r["media_id"]: r for r in decode_audio(df).collect()}
+    a = got["a"]
+    assert a["sample_rate"] == 8000 and a["channels"] == 1
+    assert a["n_samples"] == 6 and a["peak"] == 2000
+    assert a["rms"] == pytest.approx(
+        float(np.sqrt(np.mean(s.astype(np.float64) ** 2))), rel=1e-9)
+    # strict sign flips: 1000/-1000, -1000/2000, 2000/-2000 -> 3
+    assert a["zero_cross"] == 3
+    assert got["bad"]["sample_rate"] is None   # unsupported -> null row
+    assert got["n"]["rms"] is None
+    # stereo interleaved: n_samples is per-channel frames
+    st = np.array([100, -100, 200, -200], dtype=np.int16)
+    df2 = spark.createDataFrame(
+        [("st", bytearray(wav_lite.encode_wav(st, 16000, channels=2)))],
+        "media_id string, payload binary")
+    r2 = decode_audio(df2).first()
+    assert r2["channels"] == 2 and r2["n_samples"] == 2
