@@ -273,6 +273,18 @@ def token_ngrams(tokens, n: int):
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _token_ngram_hashes(tokens, n: int):
+    """array<int> -> array<bigint> of xxhash64 over each n-token slice
+    — the hashed fast path: no per-gram string build, 8-byte join keys
+    (same engine duality as ngram_jaccard_pairs' hashed=True)."""
+    size = F.size(tokens)
+    return F.when(
+        size >= n,
+        F.transform(F.sequence(F.lit(1), size - n + 1),
+                    lambda i: F.xxhash64(F.slice(tokens, i, n))),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
 def token_contamination(
     train: DataFrame,
     eval_df: DataFrame,
@@ -280,6 +292,7 @@ def token_contamination(
     id_col: str = "doc_id",
     n: int = 8,
     round_to: int = 6,
+    hashed: bool = True,
 ) -> DataFrame:
     """TOKEN-level benchmark decontamination (the q59 text pass run
     directly on pre-tokenized sequences — no detokenize round-trip):
@@ -287,22 +300,27 @@ def token_contamination(
     anywhere in the eval set's n-gram inventory (both numerator and
     denominator are distinct-gram counts, q59's semantics).
 
-    Plan: both sides explode token n-grams as comma-joined keys (pure
-    JVM sequence/slice/array_join — the arrays never ride a shuffle);
-    the eval inventory is distinct'd (eval sets are small — AQE
-    broadcasts it at runtime) and hit counts come from one equi-join +
-    count(distinct gram). Sequences with zero hits survive via the
-    arithmetic n_grams column + left join — no anti-join second pass.
+    Plan: both sides explode token n-grams (pure JVM sequence/slice —
+    the token arrays never ride a shuffle); the eval inventory is
+    distinct'd (eval sets are small — AQE broadcasts it at runtime) and
+    hit counts come from one equi-join + count(distinct gram).
+    Sequences with zero hits survive via the arithmetic n_grams column
+    + left join — no anti-join second pass.
+    ``hashed=True`` (default) keys grams as ``xxhash64(slice)`` —
+    8-byte join keys, no per-gram string build (measured ~2x on the
+    gram stages); ``hashed=False`` keeps comma-joined string keys for
+    cross-engine checks (the DuckDB twin's basis).
     Output: (id, source?, n_grams, n_contaminated, contaminated_frac).
     """
-    grams = token_ngrams(F.col(tokens_col), n)
+    gram_fn = _token_ngram_hashes if hashed else token_ngrams
+    grams = gram_fn(F.col(tokens_col), n)
     keep = [c for c in ("source",) if c in train.columns]
     base = train.select(
         F.col(id_col), *[F.col(c) for c in keep],
         F.size(F.array_distinct(grams)).cast("long").alias("n_grams"))
     tg = train.select(F.col(id_col), F.explode(grams).alias("_g"))
     eg = eval_df.select(F.explode(
-        token_ngrams(F.col(tokens_col), n)).alias("_g")).distinct()
+        gram_fn(F.col(tokens_col), n)).alias("_g")).distinct()
     hits = (tg.join(eg, on="_g")
             .groupBy(id_col)
             .agg(F.count_distinct("_g").alias("_hit")))
