@@ -3446,10 +3446,13 @@ def _oracle_mad_outliers() -> str:
       SELECT d.event_id, d.event_type, round(d.value, 2) AS value,
         -- floor(x*1e4 + 0.5)/1e4, NOT round(): plain IEEE ops replay
         -- bit-exactly across engines, engine round() half-way
-        -- conventions do not (matches stats.mad_flags)
-        CASE WHEN md.mad > 0
-             THEN floor(0.6745 * (d.value - d.med) / md.mad
-                        * 10000.0 + 0.5) / 10000.0
+        -- conventions do not; |x| > 9e14 passes through unrounded
+        -- (int64 floor overflow guard) — matches stats.mad_flags
+        CASE WHEN md.mad > 0 THEN
+          CASE WHEN abs(0.6745 * (d.value - d.med) / md.mad) <= 9e14
+               THEN floor(0.6745 * (d.value - d.med) / md.mad
+                          * 10000.0 + 0.5) / 10000.0
+               ELSE 0.6745 * (d.value - d.med) / md.mad END
         END AS mzscore
       FROM d JOIN md USING (event_type))
     SELECT event_id, event_type, value, mzscore,
@@ -3526,7 +3529,10 @@ def _oracle_blocklist_filter() -> str:
         CASE WHEN event_id % 2 = 0 THEN '.co.uk' ELSE '.org' END AS host
       FROM events
     ), r AS (
-      SELECT host, string_split(host, '.') AS l FROM h
+      -- lower() mirrors split_domain's host normalization (latent on
+      -- this data — the generated hosts are lowercase — but the twin
+      -- should not depend on that)
+      SELECT host, string_split(lower(host), '.') AS l FROM h
     ), g AS (
       SELECT host,
         CASE WHEN l[len(l)-1] || '.' || l[len(l)] IN ({multi})
@@ -3544,10 +3550,15 @@ def _q112_token_contamination(spark, sf):
     sequence table (the graft's native payload — no detokenize
     round-trip): per train sequence, distinct token-8-grams shared with
     the eval inventory (every 97th sequence), aggregated per source.
-    Gram keys are comma-joined token slices built JVM-side; the eval
-    inventory distinct is broadcast by AQE at runtime. The twin replays
-    the grams as ascii codes of character 8-grams of the same log
-    lines (byte tokenization makes them identical by construction)."""
+    Gram keys are xxhash64 over each token slice (the operator's
+    hashed=True default — 8-byte keys, no per-gram strings); the eval
+    inventory distinct is broadcast by AQE at runtime. The twin counts
+    the same grams as ascii-code strings of character 8-grams of the
+    same log lines (byte tokenization makes the gram SETS identical by
+    construction; the count parity additionally assumes zero xxhash64
+    collisions within a document's + the eval inventory's grams —
+    ~1e5 grams vs 2^64, collision odds < 1e-9, same contract as every
+    hash-keyed operator here)."""
     from lumbermill_spark.training import tokenize
 
     tok = _events_token_table(spark, sf)

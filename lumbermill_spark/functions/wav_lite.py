@@ -66,8 +66,11 @@ def parse_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
         (size,) = struct.unpack_from("<I", payload, pos + 4)
         body = payload[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
-            if size < 16:
-                raise WavError("fmt chunk too short")
+            # validate against the ACTUAL body length, not the declared
+            # size — a truncated payload must raise WavError (which
+            # decode_audio turns into a null row), never struct.error
+            if size < 16 or len(body) < 16:
+                raise WavError("fmt chunk too short/truncated")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body

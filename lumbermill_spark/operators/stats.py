@@ -369,10 +369,18 @@ def funnel_counts(df: DataFrame, steps: list[str],
     k = len(steps)
     per_user = cur.groupBy("u").agg(
         *[F.max(f"_t{i}").alias(f"_t{i}") for i in range(k)])
+    # null-user semantics (matches the previous join-based formulation
+    # and a SQL twin's equi-join): a NULL user forms a group and may
+    # count at step 1, but never advances — a join on the user key
+    # can't match null, and a window partition must not resurrect it
+    step_ok = [
+        F.col(f"_t{i}").isNotNull() if i == 0
+        else (F.col(f"_t{i}").isNotNull() & F.col("u").isNotNull())
+        for i in range(k)
+    ]
     counts = per_user.agg(
-        *[F.coalesce(
-            F.sum(F.when(F.col(f"_t{i}").isNotNull(), 1).otherwise(0)),
-            F.lit(0)).cast("long").alias(f"_n{i}")
+        *[F.coalesce(F.sum(F.when(step_ok[i], 1).otherwise(0)), F.lit(0))
+          .cast("long").alias(f"_n{i}")
           for i in range(k)]).collect()[0]
     rows = [(i + 1, step, counts[f"_n{i}"]) for i, step in enumerate(steps)]
     return spark.createDataFrame(
@@ -605,7 +613,12 @@ def mad_flags(df: DataFrame, value_field: str,
     scale = float(10 ** round_to)
     raw = (F.lit(0.6745) * (F.col(value_field) - F.col("_med"))
            / F.col("_mad"))
-    mz = F.floor(raw * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+    # |raw| beyond ~9e14: floor() returns LONG, so raw*scale would
+    # overflow int64 (an ARITHMETIC_OVERFLOW error under ANSI mode,
+    # garbage otherwise) — such scores are astronomically outlying
+    # anyway, so they pass through unrounded
+    rounded = F.floor(raw * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+    mz = F.when(F.abs(raw) <= F.lit(9.0e14), rounded).otherwise(raw)
     mz = F.when(F.col("_mad") > 0, mz)
     return (j2.withColumn("mzscore", mz)
             .withColumn("is_outlier",

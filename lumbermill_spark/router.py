@@ -256,7 +256,13 @@ def route_and_write(
         got = obs.get
         rows = int(got.get("rows", 0))
         tokens = int(got["tokens"]) if has_tok and got.get("tokens") is not None else None
-        lineage = (ckpt.partition_lineage(branch, token_col)
+        # merge sinks: lineage reads the JUST-WRITTEN snapshot (a
+        # column-pruned scan) — computing it from `branch` would
+        # re-execute the whole prev-snapshot read + upsert shuffle a
+        # second time (the frame is deliberately unpersisted)
+        lineage_src = (spark.read.format(spec.format).load(path)
+                       if spec.mode == "merge" else branch)
+        lineage = (ckpt.partition_lineage(lineage_src, token_col)
                    if with_lineage and rows > 0 else [])
         ckpt.commit(spark, base, run_id, stage, spec.name, rows, tokens, lineage)
         results[spec.name] = {

@@ -306,6 +306,39 @@ def run_routed(
     return q
 
 
+def _checkpoint_namespace(spark, checkpoint: str) -> str:
+    """Stable namespace for one LIFETIME of a stream checkpoint: a
+    marker file inside the checkpoint dir, created on first use and
+    read back on every restart. A deleted/rebuilt checkpoint (the
+    standard 'reprocess from scratch' ops move) gets a NEW namespace,
+    so its batch ids restarting at 0 cannot collide with sink commit
+    rows from the previous checkpoint's life — without it, a rebuilt
+    stream's batches 0..N would all be resume-SKIPPED as already
+    committed and the reprocess would silently merge nothing."""
+    import uuid as _uuid
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(f"{checkpoint.rstrip('/')}/__lms_ns")
+    fs = p.getFileSystem(conf)
+    if fs.exists(p):
+        stream = fs.open(p)
+        try:
+            ns = jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8").strip()
+        finally:
+            stream.close()
+        if ns:
+            return ns
+    ns = _uuid.uuid4().hex[:12]
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(ns.encode("utf-8")))
+    finally:
+        out.close()
+    return ns
+
+
 def run_merged(
     df: DataFrame,
     sink,
@@ -322,16 +355,24 @@ def run_merged(
     commit and the stream commit) is skipped by the router's
     committed-sinks check instead of double-merging. Restarting the
     query against the same checkpoint processes only new source files
-    and merges them on top of the surviving snapshot.
+    and merges them on top of the surviving snapshot;
+    deleting the checkpoint to reprocess starts a fresh
+    namespaced run_id series (see _checkpoint_namespace)
+    instead of being skipped by the previous life's commits.
     """
     from lumbermill_spark.router import route_and_write
 
     if sink.mode != "merge":
         raise ValueError("run_merged requires a mode='merge' SinkSpec")
+    # namespace per checkpoint LIFETIME: a deleted/rebuilt checkpoint
+    # restarts batch ids at 0 — without the namespace those would
+    # collide with the previous life's committed run_ids and every
+    # reprocess batch would be resume-SKIPPED (silently merging nothing)
+    ns = _checkpoint_namespace(df.sparkSession, checkpoint)
 
     def write_batch(batch_df: DataFrame, batch_id: int):
         route_and_write(batch_df, [sink], base,
-                        run_id=f"b{batch_id:012d}", resume=True)
+                        run_id=f"{ns}-b{batch_id:012d}", resume=True)
 
     q = (
         df.writeStream.foreachBatch(write_batch)

@@ -411,7 +411,10 @@ def _cc_driver(spark, edges_sym: DataFrame) -> DataFrame:
     find(x) = min reachable id — identical labels to the distributed
     loop. Collected volume is capped by the caller's
     ``driver_max_edges`` check."""
-    rows = (edges_sym.filter(F.col("src") < F.col("dst"))
+    # src <= dst keeps SELF-LOOP nodes in the collected set (a pair
+    # (x, x) must still yield row (x, x) like the distributed path);
+    # the union below is a no-op for them but registers the node
+    rows = (edges_sym.filter(F.col("src") <= F.col("dst"))
             .select("src", "dst").collect())
     parent: dict = {}
 

@@ -255,3 +255,19 @@ def test_mad_flags(spark):
                                 "g string, id int, v double")
     got2 = mad_flags(df2, "v", ["g"]).collect()
     assert all(not r.is_outlier and r.mzscore is None for r in got2)
+
+
+def test_funnel_null_user_semantics(spark):
+    # a NULL user may count at step 1 (it forms a group) but can never
+    # advance — join-on-user semantics, which any SQL twin shares
+    from lumbermill_spark.operators.stats import funnel_counts
+
+    ev = spark.createDataFrame(
+        [(None, "2024-01-01 00:00:00", "view"),
+         (None, "2024-01-01 00:01:00", "click"),
+         (7, "2024-01-01 00:00:00", "view"),
+         (7, "2024-01-01 00:01:00", "click")],
+        "user_id string, ts string, event_type string")
+    got = {r["step_name"]: r["n_users"]
+           for r in funnel_counts(ev, ["view", "click"]).collect()}
+    assert got == {"view": 2, "click": 1}

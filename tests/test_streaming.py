@@ -232,3 +232,16 @@ def test_stream_merge_sink(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError, match="mode='merge'"):
         sp.run_merged(stream2, SinkSpec("x", None), base, ckpt)
+    # checkpoint REBUILD (the reprocess-from-scratch ops move): batch
+    # ids restart at 0, but the fresh namespace means the replayed
+    # batches are NOT resume-skipped against the old run_ids — the
+    # merge still applies (doc 2 advances to v3)
+    import shutil
+    shutil.rmtree(ckpt)
+    spark.createDataFrame([(2, 3, "b3")], schema) \
+        .write.mode("append").parquet(str(src))
+    stream3 = spark.readStream.schema(schema).parquet(str(src))
+    sp.run_merged(stream3, spec, base, ckpt)
+    snap3 = {r["doc_id"]: r["body"]
+             for r in read_merged(spark, base, "docs").collect()}
+    assert snap3[2] == "b3" and snap3[1] == "a1" and snap3[3] == "c1"

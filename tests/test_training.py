@@ -1128,6 +1128,15 @@ def test_wav_roundtrip_and_decode_audio(spark):
     assert wav_lite.probe(payload)["duration_s"] == pytest.approx(6 / 8000)
     with pytest.raises(wav_lite.WavError, match="RIFF"):
         wav_lite.parse_wav(b"not a wav at all, definitely not....")
+    # truncated fmt chunk: declared size 16 but the file ends 4 bytes
+    # into the body — must be WavError (-> null row), never a
+    # struct.error job-killer (>= 44 total so the header check passes)
+    trunc = (b"RIFF" + (60).to_bytes(4, "little") + b"WAVE"
+             + b"JUNK" + (20).to_bytes(4, "little") + b"\x00" * 20
+             + b"fmt " + (16).to_bytes(4, "little") + b"\x01\x00\x01\x00")
+    assert len(trunc) >= 44
+    with pytest.raises(wav_lite.WavError, match="truncated"):
+        wav_lite.parse_wav(trunc)
 
     # operator features vs hand computation
     df = spark.createDataFrame(
@@ -1154,3 +1163,14 @@ def test_wav_roundtrip_and_decode_audio(spark):
         "media_id string, payload binary")
     r2 = decode_audio(df2).first()
     assert r2["channels"] == 2 and r2["n_samples"] == 2
+
+
+def test_connected_components_self_loop_both_paths(spark):
+    # a self-loop pair (x, x) must register the node on BOTH paths
+    pairs = spark.createDataFrame([(5, 5), (1, 2)], "id_a long, id_b long")
+    drv = {(r["id"], r["component"])
+           for r in dedup.connected_components(pairs).collect()}
+    dist = {(r["id"], r["component"])
+            for r in dedup.connected_components(
+                pairs, driver_max_edges=0).collect()}
+    assert drv == dist == {(5, 5), (1, 1), (2, 1)}
