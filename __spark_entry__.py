@@ -3529,10 +3529,10 @@ def _oracle_blocklist_filter() -> str:
         CASE WHEN event_id % 2 = 0 THEN '.co.uk' ELSE '.org' END AS host
       FROM events
     ), r AS (
-      -- lower() mirrors split_domain's host normalization (latent on
-      -- this data — the generated hosts are lowercase — but the twin
-      -- should not depend on that)
-      SELECT host, string_split(lower(host), '.') AS l FROM h
+      -- lower(trim()) mirrors split_domain's host normalization
+      -- exactly (latent on this data — the generated hosts are clean
+      -- lowercase — but the twin should not depend on that)
+      SELECT host, string_split(lower(trim(host)), '.') AS l FROM h
     ), g AS (
       SELECT host,
         CASE WHEN l[len(l)-1] || '.' || l[len(l)] IN ({multi})

@@ -73,6 +73,12 @@ def parse_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
                 raise WavError("fmt chunk too short/truncated")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
+            # declared-vs-actual check, same as fmt: a data chunk cut
+            # off by truncation must raise (-> null feature row), not
+            # silently yield a short sample array with plausible but
+            # wrong rms/duration
+            if len(body) < size:
+                raise WavError("data chunk truncated")
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:

@@ -613,12 +613,14 @@ def mad_flags(df: DataFrame, value_field: str,
     scale = float(10 ** round_to)
     raw = (F.lit(0.6745) * (F.col(value_field) - F.col("_med"))
            / F.col("_mad"))
-    # |raw| beyond ~9e14: floor() returns LONG, so raw*scale would
-    # overflow int64 (an ARITHMETIC_OVERFLOW error under ANSI mode,
-    # garbage otherwise) — such scores are astronomically outlying
-    # anyway, so they pass through unrounded
+    # floor() returns LONG, so raw*scale must stay inside int64
+    # (overflow = ARITHMETIC_OVERFLOW under ANSI, garbage otherwise).
+    # The safe bound is DERIVED from the scale (9e18/scale, under
+    # Long.Max 9.22e18) — a constant tuned for round_to=4 would still
+    # overflow at round_to=6. Scores past the bound are astronomically
+    # outlying anyway and pass through unrounded.
     rounded = F.floor(raw * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
-    mz = F.when(F.abs(raw) <= F.lit(9.0e14), rounded).otherwise(raw)
+    mz = F.when(F.abs(raw) <= F.lit(9.0e18 / scale), rounded).otherwise(raw)
     mz = F.when(F.col("_mad") > 0, mz)
     return (j2.withColumn("mzscore", mz)
             .withColumn("is_outlier",

@@ -114,12 +114,10 @@ def route_tag(df: DataFrame, sinks: list[SinkSpec],
 
 
 def _fs_exists(spark: SparkSession, path: str) -> bool:
-    """Filesystem-agnostic existence probe via the Hadoop FS API (works
-    for file://, hdfs://, s3a:// — wherever the sink writes)."""
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    return p.getFileSystem(conf).exists(p)
+    """Filesystem-agnostic existence probe (shared Hadoop FS helper)."""
+    from lumbermill_spark.functions.fsutil import fs_exists
+
+    return fs_exists(spark, path)
 
 
 def merge_snapshot_path(spark: SparkSession, base: str, sink: str,
@@ -222,6 +220,11 @@ def route_and_write(
                 raise ValueError(
                     f"sink {spec.name!r}: mode='merge' requires "
                     "merge_key and merge_version")
+            if spec.format == "noop":
+                raise ValueError(
+                    f"sink {spec.name!r}: mode='merge' needs a "
+                    "persistent snapshot (format='noop' writes nothing "
+                    "for the next increment to merge onto)")
             from lumbermill_spark.operators.stateful import upsert_latest
 
             prev = merge_snapshot_path(spark, base, spec.name, spec.path)
@@ -230,7 +233,16 @@ def route_and_write(
                         else spark.createDataFrame([], branch.schema))
             branch = upsert_latest(existing, branch,
                                    spec.merge_key, spec.merge_version)
+            # persist around write+lineage: the merged frame feeds BOTH
+            # (the prev-snapshot read + upsert shuffle must not run
+            # twice), and lineage stays write-side partitioned (a
+            # read-back of the snapshot would report reader-conf-
+            # dependent split counts instead of the written layout)
+            branch = branch.persist(StorageLevel.DISK_ONLY)
+            merge_persisted = branch
             path = f"{path}/snap={run_id}"
+        else:
+            merge_persisted = None
 
         has_tok = token_col and token_col in branch.columns
         obs = Observation(f"{run_id}-{spec.name}")
@@ -256,14 +268,10 @@ def route_and_write(
         got = obs.get
         rows = int(got.get("rows", 0))
         tokens = int(got["tokens"]) if has_tok and got.get("tokens") is not None else None
-        # merge sinks: lineage reads the JUST-WRITTEN snapshot (a
-        # column-pruned scan) — computing it from `branch` would
-        # re-execute the whole prev-snapshot read + upsert shuffle a
-        # second time (the frame is deliberately unpersisted)
-        lineage_src = (spark.read.format(spec.format).load(path)
-                       if spec.mode == "merge" else branch)
-        lineage = (ckpt.partition_lineage(lineage_src, token_col)
+        lineage = (ckpt.partition_lineage(branch, token_col)
                    if with_lineage and rows > 0 else [])
+        if merge_persisted is not None:
+            merge_persisted.unpersist()
         ckpt.commit(spark, base, run_id, stage, spec.name, rows, tokens, lineage)
         results[spec.name] = {
             "skipped": False, "path": path, "rows": rows,

@@ -317,25 +317,14 @@ def _checkpoint_namespace(spark, checkpoint: str) -> str:
     committed and the reprocess would silently merge nothing."""
     import uuid as _uuid
 
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(f"{checkpoint.rstrip('/')}/__lms_ns")
-    fs = p.getFileSystem(conf)
-    if fs.exists(p):
-        stream = fs.open(p)
-        try:
-            ns = jvm.org.apache.commons.io.IOUtils.toString(
-                stream, "UTF-8").strip()
-        finally:
-            stream.close()
-        if ns:
-            return ns
+    from lumbermill_spark.functions.fsutil import read_marker, write_marker
+
+    marker = f"{checkpoint.rstrip('/')}/__lms_ns"
+    ns = read_marker(spark, marker)
+    if ns:
+        return ns
     ns = _uuid.uuid4().hex[:12]
-    out = fs.create(p, True)
-    try:
-        out.write(bytearray(ns.encode("utf-8")))
-    finally:
-        out.close()
+    write_marker(spark, marker, ns)
     return ns
 
 

@@ -392,3 +392,12 @@ def test_dynamic_path_text_gzip_sink(spark, tmp_path):
     # spark can read it back partition-pruned
     back = spark.read.text(f"{base}/logs/day=2024-03-01/event_type=error")
     assert [r["value"] for r in back.collect()] == ["e2|5"]
+
+
+def test_merge_mode_rejects_noop_format(spark, tmp_path):
+    spec = [SinkSpec("d", None, mode="merge", format="noop",
+                     merge_key="doc_id", merge_version="v")]
+    df = spark.createDataFrame([(1, 1)], "doc_id long, v long")
+    with pytest.raises(ValueError, match="persistent snapshot"):
+        route_and_write(df, spec, str(tmp_path / "x"), run_id="m",
+                        token_col=None)

@@ -1137,6 +1137,12 @@ def test_wav_roundtrip_and_decode_audio(spark):
     assert len(trunc) >= 44
     with pytest.raises(wav_lite.WavError, match="truncated"):
         wav_lite.parse_wav(trunc)
+    # truncated DATA chunk: declared 8000 bytes, file ends after 10 —
+    # must raise, never return a short (plausible but wrong) array
+    good = wav_lite.encode_wav(s, 8000)
+    cut = good[:44 - 4] + (8000).to_bytes(4, "little") + good[44:44 + 10]
+    with pytest.raises(wav_lite.WavError, match="data chunk truncated"):
+        wav_lite.parse_wav(cut)
 
     # operator features vs hand computation
     df = spark.createDataFrame(
