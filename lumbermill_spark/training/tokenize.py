@@ -300,12 +300,22 @@ def token_contamination(
     anywhere in the eval set's n-gram inventory (both numerator and
     denominator are distinct-gram counts, q59's semantics).
 
-    Plan: both sides explode token n-grams (pure JVM sequence/slice —
-    the token arrays never ride a shuffle); the eval inventory is
-    distinct'd (eval sets are small — AQE broadcasts it at runtime) and
-    hit counts come from one equi-join + count(distinct gram).
-    Sequences with zero hits survive via the arithmetic n_grams column
-    + left join — no anti-join second pass.
+    Plan: one pass over the train side — distinct token n-grams (pure
+    JVM sequence/slice; the token arrays never ride a shuffle) are
+    computed ONCE per row inside the Generate, probed against the
+    distinct'd eval inventory with a broadcast left join (eval sets
+    are small — AQE broadcasts at runtime), and partial-aggregated
+    back to one row per sequence (explode preserves co-location, so
+    the map-side combine collapses each doc's grams before the
+    exchange: the shuffle carries ~1 row per sequence, not per gram).
+    ``n_grams`` is derived AT the aggregation as ``count(_g)`` — the
+    exploded grams are already distinct — rather than as a
+    ``size(...)`` column beside the explode: a projection above a
+    Generate re-evaluates per OUTPUT row, so carrying the arithmetic
+    count would recompute the whole gram-hash array per gram (O(G²)
+    per doc; measured 10x slower at sf0.1). Zero-hit and empty
+    sequences survive via the outer explode (count ignores the null
+    row) — no second train scan, no post-join re-join.
     ``hashed=True`` (default) keys grams as ``xxhash64(slice)`` —
     8-byte join keys, no per-gram string build (measured ~2x on the
     gram stages); ``hashed=False`` keeps comma-joined string keys for
@@ -313,21 +323,19 @@ def token_contamination(
     Output: (id, source?, n_grams, n_contaminated, contaminated_frac).
     """
     gram_fn = _token_ngram_hashes if hashed else token_ngrams
-    grams = gram_fn(F.col(tokens_col), n)
+    dg = F.array_distinct(gram_fn(F.col(tokens_col), n))
     keep = [c for c in ("source",) if c in train.columns]
-    base = train.select(
+    eg = (eval_df.select(F.explode(
+              gram_fn(F.col(tokens_col), n)).alias("_g")).distinct()
+          .withColumn("_hit", F.lit(1)))
+    rows = train.select(
         F.col(id_col), *[F.col(c) for c in keep],
-        F.size(F.array_distinct(grams)).cast("long").alias("n_grams"))
-    tg = train.select(F.col(id_col), F.explode(grams).alias("_g"))
-    eg = eval_df.select(F.explode(
-        gram_fn(F.col(tokens_col), n)).alias("_g")).distinct()
-    hits = (tg.join(eg, on="_g")
-            .groupBy(id_col)
-            .agg(F.count_distinct("_g").alias("_hit")))
-    out = (base.join(hits, on=id_col, how="left")
-           .withColumn("n_contaminated",
-                       F.coalesce(F.col("_hit"), F.lit(0)).cast("long"))
-           .drop("_hit"))
+        F.explode_outer(dg).alias("_g"))
+    out = (rows.join(eg, on="_g", how="left")
+           .groupBy(id_col, *keep)
+           .agg(F.count("_g").cast("long").alias("n_grams"),
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long")
+                .alias("n_contaminated")))
     frac = F.when(F.col("n_grams") > 0,
                   F.col("n_contaminated").cast("double") / F.col("n_grams")
                   ).otherwise(F.lit(0.0))
