@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from lumbermill_spark.functions.skew import ensure_min_parallelism
 from lumbermill_spark.training.textstats import words
@@ -285,6 +286,98 @@ def _token_ngram_hashes(tokens, n: int):
     ).otherwise(F.array().cast("array<bigint>"))
 
 
+_GRAM_P = 0x9E3779B97F4A7C15  # odd 64-bit multiplier (golden ratio)
+
+
+def _gram_rows_arrow(
+    df: DataFrame,
+    tokens_col: str,
+    id_col: str,
+    keep: list[str],
+    n: int,
+) -> DataFrame:
+    """(id, keep..., _g: bigint) — each row's DISTINCT token n-gram
+    hashes, exploded, computed in ONE vectorized Arrow stage. A row
+    whose sequence yields no gram (shorter than ``n``, empty, or null)
+    emits a single null-``_g`` row (explode_outer semantics), so
+    callers can count/aggregate without a second scan.
+
+    Gram hash: rolling polynomial ``sum(tok[j+k] * P^(n-1-k)) mod
+    2^64`` with a fixed odd multiplier — n numpy multiply-adds over the
+    batch's FLAT token buffer (cross-document windows are cut away by
+    position filtering), then one lexsort for per-document dedup. The
+    JVM expression-tree equivalent (``transform(sequence, xxhash64(
+    slice))``) runs per-gram in Catalyst's interpreted higher-order-
+    function mode — no codegen, no vectorization — and measured ~2.1x
+    slower on a warm-input A/B at the 2M-sequence scale (30.4s vs
+    14.5s, local[32]). Same collision contract as every
+    hash-keyed operator here (distinct 8-grams colliding in a 64-bit
+    space within one doc + the eval inventory, odds < 1e-9); the
+    ``hashed=False`` string path remains the exact/cross-engine basis.
+    Null token ELEMENTS hash as -1; null/empty sequences yield no gram.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    src = df.select(F.col(id_col), *[F.col(c) for c in keep],
+                    F.col(tokens_col))
+    in_schema = src.schema
+    out_schema = T.StructType(
+        [in_schema[id_col], *[in_schema[c] for c in keep],
+         T.StructField("_g", T.LongType(), True)])
+    ncols = 1 + len(keep)
+    names = [f.name for f in out_schema.fields]
+    with np.errstate(over="ignore"):
+        coeff = np.empty(n, dtype=np.uint64)
+        c = np.uint64(1)
+        for k in range(n - 1, -1, -1):
+            coeff[k] = c
+            c = c * np.uint64(_GRAM_P)
+
+    def gen(batches):
+        for b in batches:
+            ndocs = b.num_rows
+            if ndocs == 0:
+                continue
+            toks = b.column(ncols)  # tokens is the last projected col
+            lens = pc.fill_null(pc.list_value_length(toks), 0) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = pc.fill_null(toks.flatten(), -1) \
+                .to_numpy(zero_copy_only=False) \
+                .astype(np.int64).astype(np.uint64)
+            off = np.zeros(ndocs + 1, dtype=np.int64)
+            np.cumsum(lens, out=off[1:])
+            nwin = vals.size - n + 1  # windows over the FLAT buffer
+            h = np.zeros(max(nwin, 0), dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for k in range(n):
+                    h += vals[k:k + nwin] * coeff[k]
+            m = np.maximum(lens - (n - 1), 0)  # in-doc window counts
+            tot = int(m.sum())
+            didx = np.repeat(np.arange(ndocs, dtype=np.int64), m)
+            shift = np.concatenate(([0], np.cumsum(m)[:-1]))
+            pos = (np.arange(tot, dtype=np.int64)
+                   - np.repeat(shift, m) + np.repeat(off[:-1], m))
+            hw = h[pos]
+            order = np.lexsort((hw, didx))
+            ds, hs = didx[order], hw[order]
+            first = np.ones(ds.size, dtype=bool)
+            first[1:] = (ds[1:] != ds[:-1]) | (hs[1:] != hs[:-1])
+            ds, hs = ds[first], hs[first]
+            empty = np.flatnonzero(m == 0)
+            idx = pa.array(np.concatenate([ds, empty]))
+            gvals = np.concatenate(
+                [hs.view(np.int64), np.zeros(empty.size, dtype=np.int64)])
+            gmask = np.zeros(gvals.size, dtype=bool)
+            gmask[ds.size:] = True  # mask=True marks the null rows
+            cols = [pc.take(b.column(i), idx) for i in range(ncols)]
+            cols.append(pa.array(gvals, type=pa.int64(), mask=gmask))
+            yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    return src.mapInArrow(gen, out_schema)
+
+
 def token_contamination(
     train: DataFrame,
     eval_df: DataFrame,
@@ -293,6 +386,7 @@ def token_contamination(
     n: int = 8,
     round_to: int = 6,
     hashed: bool = True,
+    engine: str = "arrow",
 ) -> DataFrame:
     """TOKEN-level benchmark decontamination (the q59 text pass run
     directly on pre-tokenized sequences — no detokenize round-trip):
@@ -316,21 +410,35 @@ def token_contamination(
     per doc; measured 10x slower at sf0.1). Zero-hit and empty
     sequences survive via the outer explode (count ignores the null
     row) — no second train scan, no post-join re-join.
-    ``hashed=True`` (default) keys grams as ``xxhash64(slice)`` —
-    8-byte join keys, no per-gram string build (measured ~2x on the
-    gram stages); ``hashed=False`` keeps comma-joined string keys for
-    cross-engine checks (the DuckDB twin's basis).
+    ``hashed=True`` (default) keys grams with 8-byte hashes — via the
+    vectorized Arrow stage of :func:`_gram_rows_arrow`
+    (``engine="arrow"``, default: one numpy rolling-hash pass, ~2x the
+    JVM expression path at the 2M-sequence scale) or via
+    ``transform(sequence, xxhash64(slice))`` (``engine="expr"``: zero
+    Python, but Catalyst runs higher-order-function lambdas
+    interpreted). ``hashed=False`` keeps comma-joined string keys for
+    cross-engine checks (the DuckDB twin's basis; always expr).
+    Gram-count semantics are engine-independent — parity rests on gram
+    SET identity, not hash values.
     Output: (id, source?, n_grams, n_contaminated, contaminated_frac).
     """
-    gram_fn = _token_ngram_hashes if hashed else token_ngrams
-    dg = F.array_distinct(gram_fn(F.col(tokens_col), n))
+    if engine not in ("arrow", "expr"):
+        raise ValueError(f"engine must be 'arrow' or 'expr', got {engine!r}")
     keep = [c for c in ("source",) if c in train.columns]
-    eg = (eval_df.select(F.explode(
-              gram_fn(F.col(tokens_col), n)).alias("_g")).distinct()
-          .withColumn("_hit", F.lit(1)))
-    rows = train.select(
-        F.col(id_col), *[F.col(c) for c in keep],
-        F.explode_outer(dg).alias("_g"))
+    if hashed and engine == "arrow":
+        rows = _gram_rows_arrow(train, tokens_col, id_col, keep, n)
+        eg = (_gram_rows_arrow(eval_df, tokens_col, id_col, [], n)
+              .where(F.col("_g").isNotNull()).select("_g").distinct()
+              .withColumn("_hit", F.lit(1)))
+    else:
+        gram_fn = _token_ngram_hashes if hashed else token_ngrams
+        dg = F.array_distinct(gram_fn(F.col(tokens_col), n))
+        eg = (eval_df.select(F.explode(
+                  gram_fn(F.col(tokens_col), n)).alias("_g")).distinct()
+              .withColumn("_hit", F.lit(1)))
+        rows = train.select(
+            F.col(id_col), *[F.col(c) for c in keep],
+            F.explode_outer(dg).alias("_g"))
     out = (rows.join(eg, on="_g", how="left")
            .groupBy(id_col, *keep)
            .agg(F.count("_g").cast("long").alias("n_grams"),

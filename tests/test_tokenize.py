@@ -205,3 +205,46 @@ def test_token_contamination(spark):
     assert out[3]["contaminated_frac"] == 1.0
     assert out[4]["n_grams"] == 0 and out[4]["contaminated_frac"] == 0.0
     assert out[1]["source"] == "a"   # passthrough column kept
+
+
+def test_token_contamination_engine_parity(spark):
+    """All three gram engines (arrow / expr / string keys) agree on the
+    counts, including null and empty sequences and a doc whose every
+    gram is a duplicate; unknown engine raises."""
+    from lumbermill_spark.training.tokenize import token_contamination
+
+    train = spark.createDataFrame(
+        [(1, [1, 2, 3, 4, 5]), (2, [9, 9, 9, 9]), (3, [3, 4, 5, 6]),
+         (4, [7]), (5, []), (6, None), (7, [2, 3, 4, 2, 3, 4, 2])],
+        "doc_id long, tokens array<int>")
+    ev = spark.createDataFrame([(100, [2, 3, 4, 5, 6])],
+                               "doc_id long, tokens array<int>")
+
+    def run(**kw):
+        return {r["doc_id"]: (r["n_grams"], r["n_contaminated"])
+                for r in token_contamination(train, ev, n=3, **kw).collect()}
+
+    arrow = run(engine="arrow")
+    assert arrow == run(engine="expr")
+    assert arrow == run(hashed=False)
+    assert arrow[5] == (0, 0) and arrow[6] == (0, 0)
+    assert arrow[7] == (3, 1)  # distinct {234,342,423}; only 234 hits
+    with pytest.raises(ValueError, match="engine"):
+        token_contamination(train, ev, n=3, engine="numpy")
+
+
+def test_gram_rows_arrow_null_elements(spark):
+    """Null token ELEMENTS hash as a sentinel: grams that differ only
+    in null position stay distinct, identical grams still dedup."""
+    from lumbermill_spark.training.tokenize import _gram_rows_arrow
+
+    df = spark.createDataFrame(
+        [(1, [None, 1, None, 1]),   # grams (n=2): (ø,1),(1,ø),(ø,1) -> 2
+         (2, [5, None, 5, None])],  # grams: (5,ø),(ø,5),(5,ø) -> 2
+        "doc_id long, tokens array<int>")
+    rows = _gram_rows_arrow(df, "tokens", "doc_id", [], 2).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], set()).add(r["_g"])
+    assert len(per_doc[1]) == 2 and len(per_doc[2]) == 2
+    assert None not in per_doc[1] | per_doc[2]
