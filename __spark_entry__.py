@@ -3694,6 +3694,234 @@ def _oracle_audio_features() -> str:
     """
 
 
+def _q115_token_fertility(spark, sf):
+    """Tokenizer fertility per source over the graft's native
+    pre-tokenized table (tokenize.fertility): tokens per whitespace
+    word and per character of the decoded text — the tokenizer-health
+    metric that flags sources the tokenizer fragments. One Arrow
+    buffer-reinterpret decode pass + a JVM split projection + one
+    map-side-combined integer-sum groupBy; ratios are IEEE divisions
+    of int64 sums, floor-rounded (replayable in both engines)."""
+    from lumbermill_spark.training import tokenize
+
+    tok = _events_token_table(spark, sf)
+    return tokenize.fertility(tok, "tokens", "source")
+
+
+def _oracle_token_fertility() -> str:
+    return rf"""
+    WITH tok AS (
+      SELECT event_type AS source, {_SQL_TOK_LINE} AS line FROM events
+    ), per AS (
+      SELECT source, length(line) AS t,
+        len(string_split_regex(trim(line), '\s+')) AS w
+      FROM tok
+    ), s AS (
+      SELECT source, count(*) AS n_seqs,
+        CAST(sum(t) AS BIGINT) AS sum_tok,
+        CAST(sum(w) AS BIGINT) AS sum_words
+      FROM per GROUP BY source)
+    SELECT source, n_seqs, sum_tok, sum_words,
+      floor(sum_tok * 1.0 / sum_words * 1e6 + 0.5) / 1e6
+        AS tokens_per_word,
+      floor(sum_tok * 1.0 / sum_tok * 1e6 + 0.5) / 1e6
+        AS tokens_per_char
+    FROM s
+    """
+
+
+def _q116_dup_clusters(spark, sf):
+    """Exact-duplicate cluster-size histogram (dedup.
+    cluster_size_histogram) over the decoded token lines — the
+    corpus-health table a dedup run reports first. The event-line
+    corpus has a REAL cluster distribution (singleton lines, ip-cycle
+    pair collisions, and one corrupt-frame megacluster), so every
+    digit bucket is exercised. Bucket key = decimal digit count of the
+    cluster size: integer/string ops only, engine-exact (unlike
+    floor(log2(n)) whose IEEE log can land powers on either side).
+    Plan: decode (one Arrow pass) → content-hash count shuffle →
+    groupBy over one row per CLUSTER."""
+    from lumbermill_spark.functions.tokens import decode_tokens_arrow
+    from lumbermill_spark.training import dedup
+
+    tok = _events_token_table(spark, sf)
+    lines = decode_tokens_arrow(tok.select("tokens"), "tokens",
+                                out_col="line", drop_tokens=True)
+    return dedup.cluster_size_histogram(lines, "line")
+
+
+def _oracle_dup_clusters() -> str:
+    return rf"""
+    WITH l AS (
+      SELECT lower(trim({_SQL_TOK_LINE})) AS k FROM events
+    ), c AS (
+      SELECT k, count(*) AS s FROM l GROUP BY k
+    )
+    SELECT length(CAST(s AS VARCHAR)) AS size_digits,
+      count(*) AS n_clusters,
+      CAST(sum(s) AS BIGINT) AS n_docs,
+      CAST(sum(s - 1) AS BIGINT) AS n_redundant,
+      CAST(min(s) AS BIGINT) AS min_size,
+      CAST(max(s) AS BIGINT) AS max_size
+    FROM c GROUP BY size_digits
+    """
+
+
+def _q117_stratified_cap(spark, sf):
+    """Exact deterministic per-stratum cap (sampling.stratified_cap):
+    the ≤10 docs per source with the smallest md5_hash60(id:salt) —
+    the "exactly K per source" eval-set contract, reproducible across
+    reruns/resumes/cluster sizes. The scale path prefilters to
+    ~8·cap/n_s of each stratum before the rank window (per-stratum
+    counts broadcast), with a detected-shortfall fallback keeping the
+    result EXACT; the verification aggregate below checks kept-set
+    MEMBERSHIP (sum of ids), not just counts."""
+    from lumbermill_spark.training import sampling
+
+    docs = _t(spark, sf, "documents")
+    kept = sampling.stratified_cap(docs, "source", cap=10)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+        F.sum("n_chars").cast("long").alias("sum_chars"))
+
+
+def _oracle_stratified_cap() -> str:
+    return r"""
+    WITH h AS (
+      SELECT source, doc_id, n_chars,
+        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':cap'),
+                            1, 15) AS BIGINT) AS u
+      FROM documents
+    ), r AS (
+      SELECT source, doc_id, n_chars,
+        row_number() OVER (PARTITION BY source ORDER BY u, doc_id) AS rn
+      FROM h)
+    SELECT source, count(*) AS n_kept,
+      CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+      CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM r WHERE rn <= 10 GROUP BY source
+    """
+
+
+def _q118_filter_cascade(spark, sf):
+    """Curation-gate survival report (textstats.filter_cascade): how
+    many documents each filter stage drops, computed in ONE corpus
+    pass (per-row first-failing-stage index + a tiny groupBy) instead
+    of K filtered counts — at 100 TB that is one job, not K. Stages:
+    length floor/ceiling, repetition (distinct-word ratio), then
+    keep-English — each gate actually bites on this corpus."""
+    from lumbermill_spark.training import textstats
+
+    docs = _t(spark, sf, "documents")
+    w = F.split(F.trim("text"), r"\s+")
+    uniq_ratio = (F.size(F.array_distinct(w)).cast("double") /
+                  F.size(w).cast("double"))
+    stages = [
+        ("min_chars", F.col("n_chars") >= 200),
+        ("max_chars", F.col("n_chars") <= 450),
+        ("uniq_ratio", uniq_ratio >= 0.30),
+        ("lang_en", F.col("lang") == "en"),
+    ]
+    return textstats.filter_cascade(docs, stages)
+
+
+def _oracle_filter_cascade() -> str:
+    return r"""
+    WITH f AS (
+      SELECT CASE
+        WHEN NOT coalesce(n_chars >= 200, false) THEN 0
+        WHEN NOT coalesce(n_chars <= 450, false) THEN 1
+        WHEN NOT coalesce(
+          len(list_distinct(string_split_regex(trim(text), '\s+'))) * 1.0 /
+          len(string_split_regex(trim(text), '\s+')) >= 0.30, false) THEN 2
+        WHEN NOT coalesce(lang = 'en', false) THEN 3
+        ELSE 4 END AS ff
+      FROM documents
+    ), g AS (
+      SELECT * FROM (VALUES (0, 'min_chars'), (1, 'max_chars'),
+                            (2, 'uniq_ratio'), (3, 'lang_en'))
+        t(stage_idx, stage)
+    ), j AS (
+      SELECT g.stage_idx, g.stage,
+        count(*) FILTER (WHERE f.ff >= g.stage_idx) AS n_in,
+        count(*) FILTER (WHERE f.ff > g.stage_idx) AS n_out
+      FROM g CROSS JOIN f GROUP BY g.stage_idx, g.stage)
+    SELECT CAST(stage_idx AS INTEGER) AS stage_idx, stage,
+      CAST(n_in AS BIGINT) AS n_in, CAST(n_out AS BIGINT) AS n_out,
+      floor((n_in - n_out) * 1.0 /
+            (CASE WHEN n_in > 0 THEN n_in ELSE 1 END) * 1e6 + 0.5) / 1e6
+        AS drop_rate
+    FROM j
+    """
+
+
+def _q119_zipf_slope(spark, sf):
+    """Zipf rank–frequency slope per language (textstats.zipf_stats):
+    least-squares fit of ln(freq) on ln(rank) over the ranked
+    vocabulary head — the corpus-health diagnostic (natural text ≈ −1;
+    templated corpora flatten). The slope uses explicit sum-form least
+    squares so BOTH engines evaluate the same IEEE expression tree
+    (regr_slope internals may accumulate differently), floor-rounded
+    to 4 decimals."""
+    from lumbermill_spark.training import textstats
+
+    docs = _t(spark, sf, "documents")
+    return textstats.zipf_stats(docs, by="lang", min_count=2, top_k=200)
+
+
+def _oracle_zipf_slope() -> str:
+    return r"""
+    WITH w AS (
+      SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS w
+      FROM documents
+    ), f AS (
+      SELECT lang, w, count(*) AS c FROM w GROUP BY lang, w
+      HAVING count(*) >= 2
+    ), r AS (
+      SELECT lang,
+        ln(CAST(row_number() OVER
+             (PARTITION BY lang ORDER BY c DESC, w ASC) AS DOUBLE)) AS x,
+        ln(CAST(c AS DOUBLE)) AS y,
+        row_number() OVER (PARTITION BY lang ORDER BY c DESC, w ASC) AS rn
+      FROM f QUALIFY rn <= 200)
+    SELECT lang, count(*) AS n_ranked,
+      floor((count(*) * sum(x * y) - sum(x) * sum(y)) /
+            (count(*) * sum(x * x) - sum(x) * sum(x)) * 1e4 + 0.5) / 1e4
+        AS slope
+    FROM r GROUP BY lang
+    """
+
+
+def _q120_seq_len_profile(spark, sf):
+    """Sequence-length histogram + pad-waste profile over the token
+    table (packing.sequence_length_profile): the planning table read
+    BEFORE choosing a packing strategy — pad_waste is the token count
+    naive pad-to-context batching would burn, which q58/q61 packing
+    drives to ~zero. Pure per-row integer projection + one
+    map-side-combined groupBy; bucket math is integer-exact in any
+    engine."""
+    from lumbermill_spark.training import packing
+
+    tok = _events_token_table(spark, sf)
+    return packing.sequence_length_profile(
+        tok, "n_tok", "source", bucket_width=16, context_len=128)
+
+
+def _oracle_seq_len_profile() -> str:
+    return rf"""
+    WITH tok AS (
+      SELECT event_type AS source, length({_SQL_TOK_LINE}) AS n
+      FROM events
+    )
+    SELECT source, CAST(n // 16 * 16 AS BIGINT) AS len_bucket,
+      count(*) AS n_seqs,
+      CAST(sum(n) AS BIGINT) AS sum_tok,
+      CAST(sum((n + 127) // 128 * 128 - n) AS BIGINT) AS pad_waste
+    FROM tok GROUP BY source, len_bucket
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_simple_stats": _q01_simple_stats,
@@ -3810,6 +4038,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_token_contamination": _q112_token_contamination,
         "q113_epoch_shuffle": _q113_epoch_shuffle,
         "q114_audio_features": _q114_audio_features,
+        "q115_token_fertility": _q115_token_fertility,
+        "q116_dup_clusters": _q116_dup_clusters,
+        "q117_stratified_cap": _q117_stratified_cap,
+        "q118_filter_cascade": _q118_filter_cascade,
+        "q119_zipf_slope": _q119_zipf_slope,
+        "q120_seq_len_profile": _q120_seq_len_profile,
     }
 
 
@@ -4498,6 +4732,12 @@ def oracle_sql() -> dict[str, str]:
         "q112_token_contamination": _oracle_token_contamination(),
         "q113_epoch_shuffle": _oracle_epoch_shuffle(),
         "q114_audio_features": _oracle_audio_features(),
+        "q115_token_fertility": _oracle_token_fertility(),
+        "q116_dup_clusters": _oracle_dup_clusters(),
+        "q117_stratified_cap": _oracle_stratified_cap(),
+        "q118_filter_cascade": _oracle_filter_cascade(),
+        "q119_zipf_slope": _oracle_zipf_slope(),
+        "q120_seq_len_profile": _oracle_seq_len_profile(),
         "q52_repetition": r"""
             WITH b AS (
               SELECT doc_id,

@@ -273,6 +273,15 @@ def minhash_signatures(
     1-(1-j^r)^b). The sf0.1 oracle gate caught this: nine pairs with
     jaccard 0.88-0.98 were missed, which a sound 16x2 banding misses
     with p < 1e-20. xxhash64 is ANSI-safe (a hash, not arithmetic).
+
+    Measured and rejected: a zero-shuffle per-row formulation
+    (sig = transform(sequence(0,H-1), i -> array_min(transform(
+    hashed_shingles, h -> xxhash64(h, seed+i))))) produces identical
+    values but runs ~5x SLOWER at bench scale (6.16s vs 1.22s,
+    best-of-3) — nested higher-order lambdas are interpreted per
+    element, while explode + min-agg stays inside whole-stage
+    codegen, and the shuffle it pays is only O(docs x H) thanks to
+    partial aggregation.
     """
     df = ensure_min_parallelism(df)  # single-row-group inputs: fan out
     exploded = df.select(
@@ -1164,3 +1173,38 @@ def fuzzy_prefix_pairs(
             .where(F.col("dist") <= max_dist)
             .select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
             .distinct())
+
+
+def cluster_size_histogram(
+    df: DataFrame,
+    text_col: str = "text",
+    normalize: bool = True,
+) -> DataFrame:
+    """Exact-duplicate audit histogram: distribution of duplicate-
+    cluster sizes, the first diagnostic a curation run reports ("how
+    much of the corpus is copies, and are they pairs or megaclusters?").
+
+    Cluster = rows sharing :func:`content_hash`; null-text rows are
+    excluded (unknown content clusters with nothing — same policy as
+    :func:`exact_dedup` keep_nulls). Bucket key = decimal digit count
+    of the cluster size (1→"1", 2-9→"1", 10-99→"2", …): a pure
+    integer/string op, so it replays bit-identically in any engine —
+    unlike floor(log2(n)), whose IEEE log can land an exact power on
+    either side of the boundary.
+
+    Plan: one wide shuffle (content-hash count, map-side combined),
+    then a second groupBy over one row per CLUSTER — already a
+    dedup-rate fraction of the corpus. n_redundant = docs a subsequent
+    exact_dedup would remove.
+    """
+    sizes = (df.filter(F.col(text_col).isNotNull())
+             .groupBy(content_hash(F.col(text_col), normalize).alias("_k"))
+             .agg(F.count(F.lit(1)).alias("_s")))
+    bucket = F.length(F.col("_s").cast("string")).alias("size_digits")
+    return (sizes.groupBy(bucket).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("_s").cast("long").alias("n_docs"),
+        F.sum(F.col("_s") - 1).cast("long").alias("n_redundant"),
+        F.min("_s").cast("long").alias("min_size"),
+        F.max("_s").cast("long").alias("max_size"),
+    ).orderBy("size_digits"))

@@ -247,3 +247,40 @@ def chunk_sequences(
     return (out.withColumn("chunk", chunk)
                .withColumn("n_chunk", F.size("chunk"))
                .drop(tokens_col))
+
+
+def sequence_length_profile(
+    df: DataFrame,
+    len_col: str = "n_tok",
+    by: str | None = "source",
+    bucket_width: int = 16,
+    context_len: int = 128,
+) -> DataFrame:
+    """Sequence-length histogram + padding-waste profile — the
+    planning table consumed BEFORE choosing a packing strategy: how
+    long are the sequences, and how many tokens would pad-to-context
+    training burn if they were NOT packed (the number pack_stats /
+    pack_blocks then drives to ~zero).
+
+    Bucket = floor(len / bucket_width) · bucket_width (integer ops
+    only — replays exactly in any engine). ``pad_waste`` = per-sequence
+    ceil(len/context)·context − len, i.e. tokens of padding under
+    naive one-doc-per-block batching at ``context_len``.
+
+    Plan: pure per-row integer projection + ONE map-side-combined
+    groupBy on (group, bucket) — cardinality ≤ groups × max_len/width,
+    independent of corpus rows. No Python, no window, no second pass.
+    """
+    n = F.col(len_col).cast("long")
+    blocks = F.floor((n + context_len - 1) / context_len)
+    keys = ([F.col(by)] if by else []) + [
+        (F.floor(n / bucket_width) * bucket_width)
+        .cast("long").alias("len_bucket")]
+    return (df.select(*keys,
+                      n.alias("_n"),
+                      (blocks * context_len - n).alias("_waste"))
+            .groupBy(*[c for c in ([by] if by else []) + ["len_bucket"]])
+            .agg(F.count(F.lit(1)).cast("long").alias("n_seqs"),
+                 F.sum("_n").cast("long").alias("sum_tok"),
+                 F.sum("_waste").cast("long").alias("pad_waste"))
+            .orderBy(*([by] if by else []), "len_bucket"))

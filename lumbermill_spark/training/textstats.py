@@ -636,3 +636,124 @@ def pmi_pairs(df: DataFrame, text_col: str = "text",
             .select(F.col("a").alias("term_a"), F.col("b").alias("term_b"),
                     F.col("n_pair").cast("bigint").alias("n_pair"),
                     "pmi", "rank"))
+
+
+def filter_cascade(
+    df: DataFrame,
+    stages: list[tuple[str, Column]],
+) -> DataFrame:
+    """Staged-filter survival report — the curation-pipeline audit
+    table ("how many documents does each gate drop?") that decides
+    which filter to tune first.
+
+    One pass, one tiny shuffle: every row computes the index of its
+    FIRST failing stage (``len(stages)`` if it passes all), the counts
+    are grouped on that index (cardinality ≤ len(stages)+1, map-side
+    combined), and per-stage in/out totals come from a suffix-sum
+    window over that tiny frame. The naive formulation — one filter +
+    count action per stage — scans the corpus K times and re-evaluates
+    every upstream predicate; this scans it once no matter how many
+    stages, which at 100 TB is the difference between one job and K.
+
+    A null predicate counts as a FAIL at its stage (filters drop
+    null-condition rows; an audit that silently passes them would
+    disagree with the pipeline it audits).
+
+    Output: (stage_idx, stage, n_in, n_out, drop_rate) ordered by
+    stage_idx — ``n_in`` rows reached the stage, ``n_out`` survived
+    it. ``drop_rate`` uses the replayable floor-rounding form (plain
+    IEEE ops, bit-identical across engines; library round() is not).
+
+    Reference analog: chained modifier filters
+    (`lumbermill/modifier/Field.py` + per-module `filter:` conditions)
+    drop events silently; this is the batch-audit view of that chain.
+    """
+    if not stages:
+        raise ValueError("filter_cascade needs at least one stage")
+    first_fail: Column = F.lit(len(stages))
+    for i in range(len(stages) - 1, -1, -1):
+        _, cond = stages[i]
+        first_fail = F.when(~F.coalesce(cond, F.lit(False)), F.lit(i)) \
+                      .otherwise(first_fail)
+    fails = df.select(first_fail.alias("_ff")) \
+              .groupBy("_ff").agg(F.count(F.lit(1)).alias("_n"))
+    spark = df.sparkSession
+    names = spark.createDataFrame(
+        [(i, name) for i, (name, _) in enumerate(stages)],
+        "stage_idx int, stage string")
+    # rows with _ff >= i reached stage i; rows with _ff > i survived
+    # it. Both come from non-equi-joining the ≤ K+1 fail-count rows to
+    # the K-row stage grid — everything after the single wide groupBy
+    # is driver-trivial.
+    grid = names.join(fails, F.col("_ff") >= F.col("stage_idx"), "left") \
+                .groupBy("stage_idx", "stage") \
+                .agg(F.coalesce(F.sum("_n"), F.lit(0)).alias("n_in"))
+    out_grid = names.join(fails, F.col("_ff") > F.col("stage_idx"), "left") \
+                    .groupBy("stage_idx") \
+                    .agg(F.coalesce(F.sum("_n"), F.lit(0)).alias("n_out"))
+    rate = (F.col("n_in") - F.col("n_out")).cast("double") / \
+        F.when(F.col("n_in") > 0, F.col("n_in").cast("double")).otherwise(F.lit(1.0))
+    return (grid.join(out_grid, "stage_idx")
+            .withColumn("drop_rate",
+                        F.floor(rate * 1e6 + F.lit(0.5)) / F.lit(1e6))
+            .select("stage_idx", "stage",
+                    F.col("n_in").cast("long").alias("n_in"),
+                    F.col("n_out").cast("long").alias("n_out"), "drop_rate")
+            .orderBy("stage_idx"))
+
+
+def zipf_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    by: str | None = None,
+    min_count: int = 2,
+    top_k: int = 200,
+) -> DataFrame:
+    """Zipf rank–frequency fit per group: least-squares slope of
+    ln(freq) on ln(rank) over the ``top_k`` most frequent words — the
+    standard corpus-health diagnostic (natural text ≈ −1; template- or
+    spam-heavy corpora flatten toward 0, truncated vocabularies
+    steepen).
+
+    Plan: explode → word count (map-side combined, the only wide pass
+    over the corpus) → ``min_count`` prune (the Zipf-tail guard that
+    keeps the ranked set a fraction of the vocabulary) → per-group
+    rank window ordered (freq desc, word asc) — deterministic
+    tie-break so the regression inputs are replayable — capped at
+    ``top_k``, so the window state per group is bounded and the final
+    regression aggregates top_k rows per group. With ``by=None`` the
+    rank is a single global window: acceptable because the windowed
+    frame is already pruned to the ≥min_count vocabulary head; for
+    corpus-scale vocabularies raise ``min_count`` (the head is what
+    the fit uses anyway).
+
+    Output: (group?, n_ranked, slope) — slope floor-rounded to 4
+    decimals (replayable rounding; see filter_cascade).
+    """
+    toks = df.select(
+        *([F.col(by)] if by else []),
+        F.explode(words(F.col(text_col))).alias("_w"))
+    keys = [by, "_w"] if by else ["_w"]
+    freq = (toks.groupBy(*keys).agg(F.count(F.lit(1)).alias("_f"))
+            .filter(F.col("_f") >= min_count))
+    w = (Window.partitionBy(by) if by else Window.partitionBy()) \
+        .orderBy(F.col("_f").desc(), F.col("_w").asc())
+    ranked = freq.withColumn("_r", F.row_number().over(w)) \
+                 .filter(F.col("_r") <= top_k)
+    # explicit least-squares sums rather than regr_slope: the closed
+    # form below is the SAME IEEE expression tree the SQL twin runs
+    # (regr_* internals may accumulate differently per engine), and the
+    # zero-denominator guard (single ranked word → vertical fit) stays
+    # ANSI-safe
+    x = F.log(F.col("_r").cast("double"))
+    y = F.log(F.col("_f").cast("double"))
+    pre = ranked.select(
+        *([by] if by else []), x.alias("_x"), y.alias("_y"),
+        (x * y).alias("_xy"), (x * x).alias("_xx"))
+    n = F.count(F.lit(1)).cast("double")
+    num = n * F.sum("_xy") - F.sum("_x") * F.sum("_y")
+    den = n * F.sum("_xx") - F.sum("_x") * F.sum("_x")
+    slope = F.when(den != 0.0, num / den)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_ranked"),
+            (F.floor(slope * 1e4 + F.lit(0.5)) / F.lit(1e4)).alias("slope")]
+    return pre.groupBy(by).agg(*aggs) if by else pre.agg(*aggs)

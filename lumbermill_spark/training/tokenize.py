@@ -448,3 +448,49 @@ def token_contamination(
                   F.col("n_contaminated").cast("double") / F.col("n_grams")
                   ).otherwise(F.lit(0.0))
     return out.withColumn("contaminated_frac", F.round(frac, round_to))
+
+
+def fertility(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    by: str = "source",
+) -> DataFrame:
+    """Tokenizer fertility per group: tokens emitted per whitespace
+    word of the decoded text, plus tokens per character — the standard
+    tokenizer-health metrics (a fertility spike on one source flags
+    content the tokenizer fragments, e.g. non-Latin scripts or binary
+    junk leaking through extraction).
+
+    The decode is ONE vectorized Arrow buffer-reinterpret batch pass
+    (:func:`~lumbermill_spark.functions.tokens.decode_tokens_arrow` —
+    the only Python in the plan, zero per-row work); word counting is
+    a JVM split/size projection; then a single map-side-combined
+    groupBy of integer sums. Ratios divide the two int64 sums as
+    doubles — identical IEEE ops in any engine — and floor-round
+    (plain mul/add/floor/div) instead of library round().
+
+    Output: (group, n_seqs, sum_tok, sum_words, tokens_per_word,
+    tokens_per_char).
+    """
+    from lumbermill_spark.functions.tokens import decode_tokens_arrow
+
+    decoded = decode_tokens_arrow(
+        df.select(F.col(by), F.col(tokens_col)), tokens_col, out_col="_line")
+    n_words = F.size(F.split(F.trim("_line"), r"\s+"))
+    stats = (decoded.select(
+        F.col(by),
+        F.size(tokens_col).cast("long").alias("_t"),
+        n_words.cast("long").alias("_w"),
+        F.length("_line").cast("long").alias("_c"))
+        .groupBy(by)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_seqs"),
+             F.sum("_t").alias("sum_tok"),
+             F.sum("_w").alias("sum_words"),
+             F.sum("_c").alias("sum_chars")))
+    tpw = F.col("sum_tok").cast("double") / F.col("sum_words").cast("double")
+    tpc = F.col("sum_tok").cast("double") / F.col("sum_chars").cast("double")
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return (stats
+            .withColumn("tokens_per_word", r6(tpw))
+            .withColumn("tokens_per_char", r6(tpc))
+            .drop("sum_chars"))

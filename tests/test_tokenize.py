@@ -248,3 +248,38 @@ def test_gram_rows_arrow_null_elements(spark):
         per_doc.setdefault(r["doc_id"], set()).add(r["_g"])
     assert len(per_doc[1]) == 2 and len(per_doc[2]) == 2
     assert None not in per_doc[1] | per_doc[2]
+
+
+def test_fertility(spark):
+    from lumbermill_spark.functions.tokens import encode_line
+    from lumbermill_spark.training import tokenize
+
+    df = spark.createDataFrame(
+        [("a", "one two three"), ("a", "four five"), ("b", "xy")],
+        "source string, line string",
+    ).select("source", encode_line(F.col("line")).alias("tokens"))
+    out = {r["source"]: r for r in
+           tokenize.fertility(df, "tokens", "source").collect()}
+    # 'a': 13+9=22 tokens over 3+2=5 words; 'b': 2 tokens over 1 word
+    assert out["a"]["sum_tok"] == 22 and out["a"]["sum_words"] == 5
+    assert out["a"]["tokens_per_word"] == 4.4
+    assert out["a"]["tokens_per_char"] == 1.0
+    assert out["b"]["n_seqs"] == 1 and out["b"]["tokens_per_word"] == 2.0
+
+
+def test_sequence_length_profile(spark):
+    from lumbermill_spark.training import packing
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("a", 130), ("b", 128)],
+        "source string, n_tok int")
+    out = {(r["source"], r["len_bucket"]): r for r in
+           packing.sequence_length_profile(
+               df, "n_tok", "source", bucket_width=16,
+               context_len=128).collect()}
+    assert out[("a", 0)]["n_seqs"] == 1       # len 10
+    assert out[("a", 0)]["pad_waste"] == 118  # 128-10
+    assert out[("a", 16)]["pad_waste"] == 108  # len 20
+    assert out[("a", 128)]["sum_tok"] == 130
+    assert out[("a", 128)]["pad_waste"] == 126  # 2*128-130
+    assert out[("b", 128)]["pad_waste"] == 0   # exact fit

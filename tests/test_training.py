@@ -1180,3 +1180,90 @@ def test_connected_components_self_loop_both_paths(spark):
             for r in dedup.connected_components(
                 pairs, driver_max_edges=0).collect()}
     assert drv == dist == {(5, 5), (1, 1), (2, 1)}
+
+
+def test_cluster_size_histogram(spark):
+    rows = [(1, "a"), (2, "A "), (3, "b"), (4, "c"), (5, "c"),
+            (6, None)] + [(10 + i, "boiler") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["size_digits"]: r
+           for r in dedup.cluster_size_histogram(df).collect()}
+    # clusters: {a,A }=2, {b}=1, {c,c}=2, {boiler}x12 — null excluded
+    assert out[1]["n_clusters"] == 3          # sizes 1, 2, 2
+    assert out[1]["n_docs"] == 5
+    assert out[1]["n_redundant"] == 2
+    assert out[1]["min_size"] == 1 and out[1]["max_size"] == 2
+    assert out[2]["n_clusters"] == 1          # the 12-doc cluster
+    assert out[2]["n_docs"] == 12 and out[2]["n_redundant"] == 11
+
+
+def test_filter_cascade(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, 40), (5, None)],
+        "id long, v int")
+    out = textstats.filter_cascade(df, [
+        ("gte20", F.col("v") >= 20),        # drops id 1 and the null
+        ("lte30", F.col("v") <= 30),        # drops id 4
+        ("odd", F.col("id") % 2 == 1),      # drops id 2
+    ]).collect()
+    assert [(r["stage"], r["n_in"], r["n_out"]) for r in out] == [
+        ("gte20", 5, 3), ("lte30", 3, 2), ("odd", 2, 1)]
+    assert out[0]["drop_rate"] == 0.4
+    with pytest.raises(ValueError):
+        textstats.filter_cascade(df, [])
+
+
+def test_zipf_stats(spark):
+    # freqs 8,4,2 at ranks 1,2,3: ln-ln slope of a perfect power law
+    # f = 16 * r^(-log2... ) — exact slope = -1 in log2 space; in ln
+    # space slope = ln(1/2)/ln(...) varies per pair, so just check
+    # the fit is negative and n_ranked counts the >=min_count words
+    text = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["once"])
+    df = spark.createDataFrame([(text,)], "text string")
+    row = textstats.zipf_stats(df, min_count=2, top_k=10).collect()[0]
+    assert row["n_ranked"] == 3
+    assert row["slope"] < 0
+    # single ranked word -> vertical fit guard returns null, not a
+    # divide-by-zero (ANSI-safe)
+    one = spark.createDataFrame([("x x",)], "text string")
+    row1 = textstats.zipf_stats(one, min_count=2, top_k=10).collect()[0]
+    assert row1["n_ranked"] == 1 and row1["slope"] is None
+
+
+def test_stratified_cap_exact_and_deterministic(spark):
+    from lumbermill_spark.training import sampling
+
+    rows = [(i, f"s{i % 3}", i * 10) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    kept = sampling.stratified_cap(df, "source", cap=7)
+    counts = {r["source"]: r["n"] for r in
+              kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"s0": 7, "s1": 7, "s2": 7}
+    # deterministic: same call -> identical kept id set
+    ids1 = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    ids2 = sorted(r["doc_id"] for r in
+                  sampling.stratified_cap(df, "source", cap=7)
+                  .select("doc_id").collect())
+    assert ids1 == ids2
+    # matches the unfiltered rank-window reference (prefilter exactness)
+    from lumbermill_spark.training.dedup import md5_hash60
+    from pyspark.sql import Window
+
+    key = F.concat_ws(":", F.col("doc_id").cast("string"), F.lit("cap"))
+    w = Window.partitionBy("source").orderBy(md5_hash60(key), "doc_id")
+    ref = sorted(r["doc_id"] for r in
+                 df.withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") <= 7).select("doc_id").collect())
+    assert ids1 == ref
+    # strata smaller than cap pass through whole
+    tiny = spark.createDataFrame([(1, "t", 5), (2, "t", 5)],
+                                 "doc_id long, source string, n_chars long")
+    assert sampling.stratified_cap(tiny, "source", cap=7).count() == 2
+    # a NULL stratum is its own capped group, never dropped by an
+    # equi-join's null-never-matches rule
+    withnull = spark.createDataFrame(
+        [(i, None if i < 20 else "s", i) for i in range(30)],
+        "doc_id long, source string, n_chars long")
+    got = (sampling.stratified_cap(withnull, "source", cap=7)
+           .groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect())
+    assert {r["source"]: r["n"] for r in got} == {None: 7, "s": 7}
