@@ -682,18 +682,22 @@ def filter_cascade(
         [(i, name) for i, (name, _) in enumerate(stages)],
         "stage_idx int, stage string")
     # rows with _ff >= i reached stage i; rows with _ff > i survived
-    # it. Both come from non-equi-joining the ≤ K+1 fail-count rows to
-    # the K-row stage grid — everything after the single wide groupBy
-    # is driver-trivial.
-    grid = names.join(fails, F.col("_ff") >= F.col("stage_idx"), "left") \
-                .groupBy("stage_idx", "stage") \
-                .agg(F.coalesce(F.sum("_n"), F.lit(0)).alias("n_in"))
-    out_grid = names.join(fails, F.col("_ff") > F.col("stage_idx"), "left") \
-                    .groupBy("stage_idx") \
-                    .agg(F.coalesce(F.sum("_n"), F.lit(0)).alias("n_out"))
+    # it. ONE non-equi join of the ≤ K+1 fail-count rows to the K-row
+    # stage grid computes both via a conditional sum — two separate
+    # grid joins would make `fails` a two-consumer frame and Spark
+    # would re-run the whole corpus scan (and the cascade expression)
+    # once per consumer. Everything after the single wide groupBy is
+    # driver-trivial.
+    grid = (names.join(fails, F.col("_ff") >= F.col("stage_idx"), "left")
+            .groupBy("stage_idx", "stage")
+            .agg(F.coalesce(F.sum("_n"), F.lit(0)).alias("n_in"),
+                 F.coalesce(
+                     F.sum(F.when(F.col("_ff") > F.col("stage_idx"),
+                                  F.col("_n"))),
+                     F.lit(0)).alias("n_out")))
     rate = (F.col("n_in") - F.col("n_out")).cast("double") / \
         F.when(F.col("n_in") > 0, F.col("n_in").cast("double")).otherwise(F.lit(1.0))
-    return (grid.join(out_grid, "stage_idx")
+    return (grid
             .withColumn("drop_rate",
                         F.floor(rate * 1e6 + F.lit(0.5)) / F.lit(1e6))
             .select("stage_idx", "stage",

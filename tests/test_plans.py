@@ -258,3 +258,22 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS bk_a")
         spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def test_filter_cascade_single_corpus_scan(spark, tmp_path):
+    """K audit stages must cost ONE corpus scan: the fail-count frame
+    feeds a single conditional-sum grid join; a second grid consumer
+    would silently re-run the scan + cascade expression per stage
+    table (the multi-consumer re-execution trap)."""
+    from lumbermill_spark.training import textstats
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, i * 7 % 100) for i in range(1000)], "id long, v long"
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    out = textstats.filter_cascade(df, [
+        ("a", F.col("v") >= 10), ("b", F.col("v") <= 90),
+        ("c", F.col("id") % 2 == 0)])
+    plan = _plan(out)
+    assert plan.count("Scan parquet") == 1
