@@ -7,7 +7,8 @@ Stages (each a library operator; see lumbermill_spark/training/):
  0. unicode normalize     — NFC + zero-width/control strip (hashing
                             before normalizing misses 'café' == 'café')
     + boilerplate lines   — corpus-frequent lines dropped from all docs
- 1. exact dedup           — hash-groupBy keep-first
+ 1. exact dedup           — hash-groupBy keep-first (preceded by the
+                            cluster-size histogram dedup audit)
  2. near-dup keep-set     — MinHash-LSH pairs → connected components
  3. repetition scrub      — consecutive word runs collapsed in-place
                             (text_squeezed becomes the shipped text)
@@ -23,6 +24,9 @@ Stages (each a library operator; see lumbermill_spark/training/):
                             to a target mixture (reproducible across
                             reruns/resumes)
  7. routed write          — kept/dropped fan-out with per-sink metrics
+ 8. post-run audits       — one-pass filter-cascade survival report,
+                            Zipf corpus-health slope, and an exact
+                            ≤K-per-source eval set (stratified_cap)
 
 Everything is one lazy DataFrame chain until the final writes: Catalyst
 sees the whole plan, and the write pass carries the per-sink counts via
@@ -57,6 +61,11 @@ def main() -> None:
     docs = docs.drop("text").join(
         lines.select("doc_id", F.col("text_clean").alias("text")),
         on="doc_id")
+
+    # 0b. dedup audit BEFORE deduping: how much of the corpus is
+    # copies, pairs or megaclusters? (one content-hash shuffle)
+    print("duplicate-cluster size histogram:")
+    dedup.cluster_size_histogram(docs).show()
 
     # 1. exact dedup
     docs = dedup.exact_dedup(docs)
@@ -108,6 +117,19 @@ def main() -> None:
             # (docs too short for bigrams keep the benefit of the doubt)
             & (F.coalesce(F.col("ppl_bucket"), F.lit("head")) != "tail"))
 
+    # 5d. gate-survival audit: which filter drops what, in ONE corpus
+    # pass (K gates, one scan — not K filtered counts). This is the
+    # table the team reads before tuning any threshold.
+    print("filter-cascade survival report:")
+    textstats.filter_cascade(docs, [
+        ("lang_en", F.col("lang_pred") == "en"),
+        ("quality", F.col("quality") >= 0.5),
+        ("gopher", F.col("gopher_pass")),
+        ("dup_span", F.col("dup_fraction") < 0.8),
+        ("ppl_gate",
+         F.coalesce(F.col("ppl_bucket"), F.lit("head")) != "tail"),
+    ]).show()
+
     # 6. source-mix resample of the keep candidates: equal weight per
     # source, downsample-only rates, md5-threshold keep decision (the
     # same rows survive on any rerun/resume — no rand())
@@ -136,6 +158,20 @@ def main() -> None:
     ]
     res = route_and_write(docs, sinks, base, run_id="curate",
                           token_col="n_ws_tokens")
+
+    # 7b. corpus-health fit on the kept set (Zipf slope per language —
+    # natural text ≈ −1; a flattened source flags template spam) and an
+    # exact ≤K-per-source EVAL SET from the val split (deterministic
+    # membership: the same docs on every rerun/resume/cluster size)
+    kept_df = spark.read.parquet(f"{base}/kept")
+    print("zipf rank-frequency slope (kept corpus):")
+    textstats.zipf_stats(kept_df, by="lang_pred", min_count=2,
+                         top_k=200).show()
+    eval_set = sampling.stratified_cap(
+        kept_df.filter(F.col("split") == "val"), "source", cap=5)
+    print(f"eval set: {eval_set.count()} docs (≤5 per source, "
+          "hash-deterministic)")
+
     print(f"input docs: {n0}")
     for sink, info in res.items():
         print(sink, {k: info.get(k) for k in
