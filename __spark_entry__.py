@@ -3922,6 +3922,161 @@ def _oracle_seq_len_profile() -> str:
     """
 
 
+def _q121_vocab_coverage(spark, sf):
+    """Head-of-vocabulary token-mass coverage per source over the
+    native pre-tokenized table (tokenize.vocab_coverage): the fraction
+    of each source's token MASS landing in the corpus-global top-20
+    token ids — the distribution-shape diagnostic beside fertility
+    (q115). Plan: explode → map-side-combined groupBy(source, id)
+    (shuffled rows bounded by sources x vocab, not token count) →
+    vocab-bounded top-k rank → broadcast semi-join back; the coverage
+    ratio divides two int64 sums (exact) and floor-rounds."""
+    from lumbermill_spark.training import tokenize
+
+    tok = _events_token_table(spark, sf)
+    return tokenize.vocab_coverage(tok, "tokens", "source", top_k=20)
+
+
+def _oracle_vocab_coverage() -> str:
+    return rf"""
+    WITH tok AS (
+      SELECT event_type AS source, {_SQL_TOK_LINE} AS line FROM events
+    ), ch AS (
+      SELECT source, unnest(string_split(line, '')) AS c FROM tok
+    ), per AS (
+      SELECT source, unicode(c) AS id, count(*) AS cnt
+      FROM ch GROUP BY source, id
+    ), tot AS (
+      SELECT id, sum(cnt) AS tc FROM per GROUP BY id
+    ), topk AS (
+      SELECT id FROM (
+        SELECT id, row_number() OVER (ORDER BY tc DESC, id ASC) AS rn
+        FROM tot) WHERE rn <= 20
+    )
+    SELECT per.source, CAST(sum(per.cnt) AS BIGINT) AS n_tok,
+      CAST(sum(CASE WHEN topk.id IS NOT NULL THEN per.cnt ELSE 0 END)
+           AS BIGINT) AS n_topk_tok,
+      count(*) AS n_ids,
+      floor(sum(CASE WHEN topk.id IS NOT NULL THEN per.cnt ELSE 0 END)
+            * 1.0 / sum(per.cnt) * 1e6 + 0.5) / 1e6 AS coverage
+    FROM per LEFT JOIN topk ON per.id = topk.id
+    GROUP BY per.source
+    """
+
+
+def _q122_dup_leakage(spark, sf):
+    """Cross-source exact-duplicate leakage matrix (dedup.
+    dup_leakage_matrix) over documents: per source pair, distinct
+    contents present in both plus duplicate doc-pair counts; the
+    diagonal reports internal duplication. The audit that decides
+    whether dedup must run ACROSS dumps rather than per-dump. Plan:
+    content-hash groupBy → self equi-join on the uniform 64-hex key
+    (per-key fan-out bounded by |groups|²) → tiny pair groupBy."""
+    from lumbermill_spark.training import dedup
+
+    docs = _t(spark, sf, "documents")
+    return dedup.dup_leakage_matrix(docs, "text", "source")
+
+
+def _oracle_dup_leakage() -> str:
+    return r"""
+    WITH h AS (
+      SELECT lower(trim(text)) AS k, source AS g FROM documents
+      WHERE text IS NOT NULL
+    ), cnt AS (
+      SELECT k, g, count(*) AS c FROM h GROUP BY k, g
+    ), x AS (
+      SELECT a.g AS group_a, b.g AS group_b,
+        count(*) AS n_contents,
+        CAST(sum(a.c * b.c) AS BIGINT) AS n_doc_pairs
+      FROM cnt a JOIN cnt b ON a.k = b.k AND a.g < b.g
+      GROUP BY a.g, b.g
+    ), diag AS (
+      SELECT g AS group_a, g AS group_b,
+        count(*) AS n_contents,
+        CAST(sum(c * (c - 1) / 2) AS BIGINT) AS n_doc_pairs
+      FROM cnt WHERE c >= 2 GROUP BY g
+    )
+    SELECT * FROM x UNION ALL SELECT * FROM diag
+    """
+
+
+def _q123_gram_novelty(spark, sf):
+    """Per-ingest-batch 3-gram novelty rate (dedup.gram_novelty):
+    fraction of each batch's distinct word grams never seen in an
+    earlier batch — the redundancy-growth curve that decides whether
+    the marginal crawl still adds information. Batches are derived
+    deterministically (doc_id % 4 = four ingest waves). Plan: explode
+    distinct grams → distinct(gram, batch) → min-batch per gram →
+    co-partitioned join back → tiny groupBy(batch); linear in gram
+    volume, no pairwise work."""
+    from lumbermill_spark.training import dedup
+
+    docs = _t(spark, sf, "documents").withColumn(
+        "batch", (F.col("doc_id") % 4).cast("long"))
+    return dedup.gram_novelty(docs, "text", "batch", n=3)
+
+
+def _oracle_gram_novelty() -> str:
+    return r"""
+    WITH d AS (
+      SELECT doc_id % 4 AS b,
+        regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents
+    ), sh AS (
+      SELECT b, list_distinct(CASE WHEN len(w) >= 3 THEN
+        list_transform(generate_series(1, len(w) - 2),
+                       i -> array_to_string(w[i:i+2], ' '))
+      ELSE [] END) AS g
+      FROM d
+    ), gb AS (
+      SELECT DISTINCT b, unnest(g) AS gram FROM sh
+    ), fb AS (
+      SELECT gram, min(b) AS f FROM gb GROUP BY gram
+    )
+    SELECT CAST(gb.b AS BIGINT) AS batch, count(*) AS n_grams,
+      CAST(sum(CASE WHEN fb.f = gb.b THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_new,
+      floor(sum(CASE WHEN fb.f = gb.b THEN 1 ELSE 0 END) * 1.0
+            / count(*) * 1e6 + 0.5) / 1e6 AS novelty
+    FROM gb JOIN fb USING (gram) GROUP BY gb.b
+    """
+
+
+def _q124_token_entropy(spark, sf):
+    """Unigram token-id Shannon entropy per source (tokenize.
+    token_entropy) over the pre-tokenized table — the corpus-health
+    scalar beside coverage (q121): near-uniform sources spike toward
+    ln(|vocab|), templated sources collapse toward 0. Computed as
+    ln(T) - sum(c*ln c)/T over integer counts so both engines evaluate
+    one identical IEEE expression tree; floor-rounded to 4 decimals."""
+    from lumbermill_spark.training import tokenize
+
+    tok = _events_token_table(spark, sf)
+    return tokenize.token_entropy(tok, "tokens", "source")
+
+
+def _oracle_token_entropy() -> str:
+    return rf"""
+    WITH tok AS (
+      SELECT event_type AS source, {_SQL_TOK_LINE} AS line FROM events
+    ), ch AS (
+      SELECT source, unnest(string_split(line, '')) AS c FROM tok
+    ), per AS (
+      SELECT source, unicode(c) AS id, count(*) AS cnt
+      FROM ch GROUP BY source, id
+    ), s AS (
+      SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tok,
+        count(*) AS n_ids,
+        sum(cnt * ln(cnt)) AS sl
+      FROM per GROUP BY source
+    )
+    SELECT source, n_tok, n_ids,
+      floor((ln(n_tok) - sl / n_tok) * 1e4 + 0.5) / 1e4 AS entropy
+    FROM s
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_simple_stats": _q01_simple_stats,
@@ -4044,6 +4199,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q118_filter_cascade": _q118_filter_cascade,
         "q119_zipf_slope": _q119_zipf_slope,
         "q120_seq_len_profile": _q120_seq_len_profile,
+        "q121_vocab_coverage": _q121_vocab_coverage,
+        "q122_dup_leakage": _q122_dup_leakage,
+        "q123_gram_novelty": _q123_gram_novelty,
+        "q124_token_entropy": _q124_token_entropy,
     }
 
 
@@ -4738,6 +4897,10 @@ def oracle_sql() -> dict[str, str]:
         "q118_filter_cascade": _oracle_filter_cascade(),
         "q119_zipf_slope": _oracle_zipf_slope(),
         "q120_seq_len_profile": _oracle_seq_len_profile(),
+        "q121_vocab_coverage": _oracle_vocab_coverage(),
+        "q122_dup_leakage": _oracle_dup_leakage(),
+        "q123_gram_novelty": _oracle_gram_novelty(),
+        "q124_token_entropy": _oracle_token_entropy(),
         "q52_repetition": r"""
             WITH b AS (
               SELECT doc_id,

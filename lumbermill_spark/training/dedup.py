@@ -1208,3 +1208,97 @@ def cluster_size_histogram(
         F.min("_s").cast("long").alias("min_size"),
         F.max("_s").cast("long").alias("max_size"),
     ).orderBy("size_digits"))
+
+
+def dup_leakage_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    normalize: bool = True,
+) -> DataFrame:
+    """Exact-duplicate leakage matrix across groups (sources, crawls,
+    dumps): for every unordered group pair the number of distinct
+    contents present in BOTH, plus the duplicate doc-pair count; the
+    diagonal (group_a == group_b) reports INTERNAL duplication —
+    contents with >= 2 docs inside one group. This is the first audit
+    table a multi-crawl curation run reads: a hot off-diagonal cell
+    means two dumps re-crawled the same sites and exact dedup must run
+    ACROSS them, not per-dump.
+
+    Plan: :func:`content_hash` → ONE map-side-combined
+    groupBy(hash, group) (output rows bounded by distinct contents x
+    groups containing them) → a self equi-join on the 64-hex hash
+    (uniform key; per-hash row count bounded by |groups|, so the join
+    fan-out per key is bounded by |groups|², never by doc count) →
+    tiny groupBy(pair). Null texts are excluded (content unknown —
+    same policy as exact_dedup's keep_nulls).
+
+    Output: (group_a, group_b, n_contents, n_doc_pairs), diagonal
+    included, group_a <= group_b.
+    """
+    cnt = (df.where(F.col(text_col).isNotNull())
+           .select(content_hash(F.col(text_col), normalize).alias("_k"),
+                   F.col(group_col).alias("_g"))
+           .groupBy("_k", "_g")
+           .agg(F.count(F.lit(1)).cast("long").alias("_c")))
+    a = cnt.select(F.col("_k"), F.col("_g").alias("_ga"),
+                   F.col("_c").alias("_ca"))
+    b = cnt.select(F.col("_k"), F.col("_g").alias("_gb"),
+                   F.col("_c").alias("_cb"))
+    cross = (a.join(b, on="_k")
+             .where(F.col("_ga") < F.col("_gb"))
+             .groupBy(F.col("_ga").alias("group_a"),
+                      F.col("_gb").alias("group_b"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_contents"),
+                  F.sum(F.col("_ca") * F.col("_cb")).cast("long")
+                  .alias("n_doc_pairs")))
+    # c*(c-1) is always even; the double division is exact below 2^52
+    within_pairs = (F.col("_c") * (F.col("_c") - F.lit(1)) / F.lit(2))
+    diag = (cnt.where(F.col("_c") >= 2)
+            .groupBy(F.col("_g"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_contents"),
+                 F.sum(within_pairs).cast("long").alias("n_doc_pairs"))
+            .select(F.col("_g").alias("group_a"),
+                    F.col("_g").alias("group_b"),
+                    "n_contents", "n_doc_pairs"))
+    return cross.unionByName(diag)
+
+
+def gram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    batch_col: str = "batch",
+    n: int = 3,
+) -> DataFrame:
+    """Per-ingest-batch n-gram novelty rate: of each batch's DISTINCT
+    word n-grams, the fraction never seen in any earlier batch (batch
+    ids must be orderable — ingest day, dump index). The redundancy-
+    growth curve a continuously-crawled corpus is judged by: novelty
+    decaying toward 0 means new crawls add bytes, not information, and
+    the marginal crawl should be down-weighted or skipped (the
+    incremental-ingest complement of :func:`exact_dedup_incremental`,
+    measured at gram rather than document granularity).
+
+    Plan: explode :func:`word_shingles` → distinct(gram, batch) (one
+    shuffle on slim rows) → groupBy(gram) min(batch) → co-partitioned
+    join back on gram → tiny groupBy(batch). Everything is keyed on
+    the gram — linear in gram volume, no pairwise work; a gram shared
+    by every batch contributes |batches| rows, never |docs|.
+
+    Output: (batch, n_grams, n_new, novelty) — novelty floor-rounded
+    to 6 decimals from an exact int64 ratio.
+    """
+    g = (df.select(F.col(batch_col).alias("_b"),
+                   F.explode(word_shingles(F.col(text_col), n))
+                   .alias("_g"))
+         .distinct())
+    first = g.groupBy("_g").agg(F.min("_b").alias("_fb"))
+    out = (g.join(first, on="_g")
+           .groupBy("_b")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_grams"),
+                F.sum(F.when(F.col("_fb") == F.col("_b"), F.lit(1))
+                      .otherwise(F.lit(0))).cast("long").alias("n_new")))
+    nov = F.col("n_new").cast("double") / F.col("n_grams").cast("double")
+    return (out.withColumn(
+        "novelty", F.floor(nov * 1e6 + F.lit(0.5)) / F.lit(1e6))
+        .withColumnRenamed("_b", batch_col))

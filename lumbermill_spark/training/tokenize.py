@@ -494,3 +494,84 @@ def fertility(
             .withColumn("tokens_per_word", r6(tpw))
             .withColumn("tokens_per_char", r6(tpc))
             .drop("sum_chars"))
+
+
+def vocab_coverage(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    by: str = "source",
+    top_k: int = 20,
+) -> DataFrame:
+    """Head-of-vocabulary coverage per group: what fraction of each
+    group's token MASS falls in the corpus-global top-``top_k`` token
+    ids. The tokenizer/curation diagnostic that flags sources whose
+    token distribution diverges from the corpus head (binary junk,
+    wrong-language leaks, templated boilerplate all shift mass out of
+    — or pathologically into — the global head).
+
+    Plan (reference semantics analog: per-field value-distribution
+    statistics, ``lumbermill/misc/Facet.py`` over a tokenized field):
+    explode → ONE map-side-combined groupBy(group, id) — after the
+    combine the shuffled row count is bounded by |groups| x |vocab|,
+    not the token count — then id totals (vocab-bounded), a single-
+    task top-k rank over that tiny aggregate (|vocab| rows, NOT data
+    rows — fine at any corpus scale), and a broadcast semi-join back.
+    No per-row Python anywhere; the ratio divides two int64 sums
+    (exact) and floor-rounds.
+
+    Output: (group, n_tok, n_topk_tok, n_ids, coverage).
+    """
+    ids = df.select(F.col(by), F.explode(tokens_col).alias("_id"))
+    per = ids.groupBy(by, "_id").agg(
+        F.count(F.lit(1)).cast("long").alias("_c"))
+    tot = per.groupBy("_id").agg(F.sum("_c").alias("_tc"))
+    w = Window.orderBy(F.col("_tc").desc(), F.col("_id").asc())
+    top = (tot.withColumn("_rn", F.row_number().over(w))
+           .where(F.col("_rn") <= top_k)
+           .select("_id", F.lit(1).alias("_top")))
+    joined = per.join(F.broadcast(top), on="_id", how="left")
+    out = joined.groupBy(by).agg(
+        F.sum("_c").cast("long").alias("n_tok"),
+        F.sum(F.when(F.col("_top") == 1, F.col("_c")).otherwise(F.lit(0)))
+        .cast("long").alias("n_topk_tok"),
+        F.count(F.lit(1)).cast("long").alias("n_ids"))
+    cov = (F.col("n_topk_tok").cast("double") /
+           F.col("n_tok").cast("double"))
+    return out.withColumn(
+        "coverage", F.floor(cov * 1e6 + F.lit(0.5)) / F.lit(1e6))
+
+
+def token_entropy(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    by: str = "source",
+) -> DataFrame:
+    """Shannon entropy (nats) of each group's unigram token-id
+    distribution — the corpus-health scalar beside
+    :func:`vocab_coverage`: near-uniform sources (encrypted/binary
+    junk) spike toward ln(|vocab|), templated/repetitive sources
+    collapse toward 0, natural text sits in between. Computed as
+    ``H = ln(T) - sum(c*ln(c))/T`` so both engines evaluate one
+    identical IEEE expression tree over integer counts (never a
+    per-row p*ln(p) accumulation whose tiny addends underflow
+    differently); floor-rounded to 4 decimals like zipf_stats.
+
+    Plan: explode → ONE map-side-combined groupBy(group, id) (shuffled
+    rows bounded by |groups| x |vocab|) → groupBy(group) over the tiny
+    aggregate. Two shuffles, both on bounded-cardinality keys.
+
+    Output: (group, n_tok, n_ids, entropy).
+    """
+    per = (df.select(F.col(by), F.explode(tokens_col).alias("_id"))
+           .groupBy(by, "_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("_c")))
+    c = F.col("_c").cast("double")
+    stats = per.groupBy(by).agg(
+        F.sum("_c").cast("long").alias("n_tok"),
+        F.count(F.lit(1)).cast("long").alias("n_ids"),
+        F.sum(c * F.log(c)).alias("_s"))
+    t = F.col("n_tok").cast("double")
+    h = F.log(t) - F.col("_s") / t
+    return (stats.withColumn(
+        "entropy", F.floor(h * 1e4 + F.lit(0.5)) / F.lit(1e4))
+        .drop("_s"))

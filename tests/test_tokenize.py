@@ -283,3 +283,44 @@ def test_sequence_length_profile(spark):
     assert out[("a", 128)]["sum_tok"] == 130
     assert out[("a", 128)]["pad_waste"] == 126  # 2*128-130
     assert out[("b", 128)]["pad_waste"] == 0   # exact fit
+
+
+def test_vocab_coverage(spark):
+    # tokens: id 1 appears 6x, id 2 4x, id 3 1x -> top_k=2 = {1, 2}
+    df = spark.createDataFrame(
+        [("a", [1, 1, 1, 2, 2, 3]), ("b", [1, 1, 1, 2, 2])],
+        "source string, tokens array<int>")
+    out = {r["source"]: r for r in
+           tokenize.vocab_coverage(df, "tokens", "source",
+                                   top_k=2).collect()}
+    assert out["a"]["n_tok"] == 6 and out["a"]["n_topk_tok"] == 5
+    assert out["a"]["n_ids"] == 3
+    assert out["a"]["coverage"] == 0.833333  # floor(5/6*1e6+.5)/1e6
+    assert out["b"]["coverage"] == 1.0 and out["b"]["n_ids"] == 2
+
+
+def test_vocab_coverage_tie_breaks_by_id(spark):
+    # ids 7 and 9 tie on global count; top_k=1 must pick the SMALLER id
+    df = spark.createDataFrame(
+        [("a", [7, 9]), ("b", [7, 9])], "source string, tokens array<int>")
+    out = {r["source"]: r for r in
+           tokenize.vocab_coverage(df, "tokens", "source",
+                                   top_k=1).collect()}
+    assert out["a"]["n_topk_tok"] == 1 and out["a"]["coverage"] == 0.5
+
+
+def test_token_entropy(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [("u", [1, 2, 3, 4]),        # uniform over 4 ids -> ln(4)
+         ("t", [5, 5, 5, 5]),        # single id -> 0
+         ("m", [1, 1, 2])],          # H = ln3 - (2 ln2)/3
+        "source string, tokens array<int>")
+    out = {r["source"]: r for r in
+           tokenize.token_entropy(df, "tokens", "source").collect()}
+    r4 = lambda x: math.floor(x * 1e4 + 0.5) / 1e4  # noqa: E731
+    assert out["u"]["entropy"] == r4(math.log(4))
+    assert out["t"]["entropy"] == 0.0
+    assert out["m"]["entropy"] == r4(math.log(3) - 2 * math.log(2) / 3)
+    assert out["m"]["n_tok"] == 3 and out["m"]["n_ids"] == 2

@@ -1267,3 +1267,44 @@ def test_stratified_cap_exact_and_deterministic(spark):
     got = (sampling.stratified_cap(withnull, "source", cap=7)
            .groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect())
     assert {r["source"]: r["n"] for r in got} == {None: 7, "s": 7}
+
+
+def test_dup_leakage_matrix(spark):
+    from lumbermill_spark.training import dedup
+
+    df = spark.createDataFrame(
+        [(1, "x", "g1"), (2, "X ", "g1"),      # internal dup in g1 (norm)
+         (3, "x", "g2"),                        # x leaks g1 -> g2
+         (4, "y", "g1"), (5, "y", "g2"), (6, "y", "g2"),  # y: 1 vs 2 docs
+         (7, None, "g1"), (8, None, "g2"),      # nulls never match
+         (9, "z", "g2")],
+        "doc_id long, text string, source string")
+    rows = {(r["group_a"], r["group_b"]):
+            (r["n_contents"], r["n_doc_pairs"])
+            for r in dedup.dup_leakage_matrix(df).collect()}
+    # cross g1<g2: contents {x, y}; doc pairs = 2*1 (x) + 1*2 (y) = 4
+    assert rows[("g1", "g2")] == (2, 4)
+    # diagonal g1: only x is duplicated internally (2 docs -> 1 pair)
+    assert rows[("g1", "g1")] == (1, 1)
+    # diagonal g2: y has 2 docs -> 1 pair
+    assert rows[("g2", "g2")] == (1, 1)
+    assert len(rows) == 3
+
+
+def test_gram_novelty(spark):
+    from lumbermill_spark.training import dedup
+
+    df = spark.createDataFrame(
+        [(0, "a b c d"),            # grams: 'a b c', 'b c d'
+         (1, "a b c e f g"),        # 'a b c' seen; 3 new
+         (1, "b c d x y z")],       # 'b c d' seen; 3 new
+        "batch long, text string")
+    out = {r["batch"]: r for r in
+           dedup.gram_novelty(df, "text", "batch", n=3).collect()}
+    assert out[0]["n_grams"] == 2 and out[0]["n_new"] == 2
+    assert out[0]["novelty"] == 1.0
+    # batch 1 distinct grams: abc, cef?  -> enumerate: doc1: 'a b c',
+    # 'b c e', 'c e f', 'e f g'; doc2: 'b c d', 'c d x', 'd x y', 'x y z'
+    assert out[1]["n_grams"] == 8
+    assert out[1]["n_new"] == 6          # abc + bcd already seen
+    assert out[1]["novelty"] == 0.75
