@@ -66,6 +66,17 @@ def main() -> None:
     # copies, pairs or megaclusters? (one content-hash shuffle)
     print("duplicate-cluster size histogram:")
     dedup.cluster_size_histogram(docs).show()
+    # ... and WHERE does the duplication live — inside one source
+    # (diagonal) or leaking across dumps (off-diagonal, the signal
+    # that dedup must run across them, not per-dump)?
+    print("duplicate-leakage matrix (source x source):")
+    dedup.dup_leakage_matrix(docs).orderBy("group_a", "group_b").show()
+    # ... and is the marginal ingest wave still adding information?
+    # (batch here = doc_id % 4 standing in for crawl/dump index)
+    print("per-ingest-batch 3-gram novelty:")
+    dedup.gram_novelty(
+        docs.withColumn("batch", (F.col("doc_id") % 4).cast("long")),
+        "text", "batch").orderBy("batch").show()
 
     # 1. exact dedup
     docs = dedup.exact_dedup(docs)
